@@ -1,0 +1,177 @@
+"""Spectral BPM estimation on TPU: FFT peak picking and Welch PSD.
+
+TPU-native re-design of the reference's three estimators:
+
+* ``analysis/utils/estimate_bpm.py:12-82`` — multichannel FFT peak in a
+  physiological band, best channel wins;
+* ``rppg_VIDEO.py:129-168`` — single-channel FFT variant;
+* ``rppg_VIDEO.py:172-235`` / ``rppg_LIVESTREAM.py:133-196`` — Welch PSD
+  (9 s Hann segments, 50% overlap, constant detrend, density scaling, mean
+  average).
+
+Everything here is pure, statically-shaped, and batched: the reference's
+``None`` returns become a ``valid`` mask so the functions compose under
+``jit``/``vmap``/``shard_map``.  ``jnp.fft.rfft`` lowers to the XLA TPU FFT.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HRBand
+
+__all__ = [
+    "BPMEstimate",
+    "estimate_bpm",
+    "estimate_bpm_multichannel",
+    "welch_psd",
+    "estimate_bpm_welch",
+    "bpm_peak_from_spectrum",
+]
+
+
+class BPMEstimate(NamedTuple):
+    """Batched BPM result; ``valid`` is False where the reference returns None."""
+
+    bpm: jnp.ndarray
+    valid: jnp.ndarray
+    peak_power: jnp.ndarray
+
+
+def _band_freqs(n: int, fs: float, band: HRBand) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side positive FFT frequencies and in-band mask (static shapes)."""
+    freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+    mask = (freqs >= band.low_hz) & (freqs <= band.high_hz)
+    return freqs, mask
+
+
+def bpm_peak_from_spectrum(power: jnp.ndarray, freqs: np.ndarray,
+                           mask: np.ndarray) -> BPMEstimate:
+    """Pick the dominant in-band frequency from a ``(..., F)`` power array."""
+    freqs_j = jnp.asarray(freqs, dtype=power.dtype)
+    mask_j = jnp.asarray(mask)
+    neg = jnp.asarray(-jnp.inf, dtype=power.dtype)
+    banded = jnp.where(mask_j, power, neg)
+    idx = jnp.argmax(banded, axis=-1)
+    peak = jnp.take_along_axis(banded, idx[..., None], axis=-1)[..., 0]
+    bpm = freqs_j[idx] * 60.0
+    valid = jnp.full(bpm.shape, bool(mask.any()))
+    return BPMEstimate(bpm=bpm, valid=valid, peak_power=peak)
+
+
+def estimate_bpm(signal: jnp.ndarray, fs: float, band: HRBand) -> BPMEstimate:
+    """Single-channel FFT peak pick over axis -1.
+
+    Mirrors ``estimate_bpm`` (``rppg_VIDEO.py:129-168``) for ``(..., T)``
+    batches.  The reference masks ``freqs >= low & freqs <= high`` over the
+    full-FFT frequencies; positive rfft frequencies give the identical band.
+    """
+    n = signal.shape[-1]
+    freqs, mask = _band_freqs(n, fs, band)
+    spectrum = jnp.abs(jnp.fft.rfft(signal, axis=-1))
+    est = bpm_peak_from_spectrum(spectrum, freqs, mask)
+    if n < 8:  # reference: analysis/utils/estimate_bpm.py:31
+        est = est._replace(valid=jnp.zeros_like(est.valid))
+    return est
+
+
+def estimate_bpm_multichannel(signal: jnp.ndarray, fs: float,
+                              band: HRBand) -> BPMEstimate:
+    """Multichannel FFT peak: per-channel peak, best channel wins.
+
+    Mirrors ``analysis/utils/estimate_bpm.py:12-82`` for ``(..., T, C)``
+    input: FFT along time, positive freqs only (strictly > 0), band mask,
+    per-channel argmax, then the channel with the largest peak decides the
+    BPM.
+    """
+    T = signal.shape[-2]
+    freqs, mask = _band_freqs(T, fs, band)
+    # The reference uses `freqs > 0` before the band mask; rfft includes the
+    # DC bin, which the band mask already excludes for any low_hz > 0.
+    mags = jnp.abs(jnp.fft.rfft(signal, axis=-2))          # (..., F, C)
+    per_chan = bpm_peak_from_spectrum(
+        jnp.moveaxis(mags, -2, -1), freqs, mask)            # (..., C)
+    best = jnp.argmax(per_chan.peak_power, axis=-1)
+    bpm = jnp.take_along_axis(per_chan.bpm, best[..., None], axis=-1)[..., 0]
+    peak = jnp.take_along_axis(per_chan.peak_power, best[..., None], axis=-1)[..., 0]
+    valid = jnp.full(bpm.shape, bool(mask.any()) and T >= 8)
+    return BPMEstimate(bpm=bpm, valid=valid, peak_power=peak)
+
+
+def _hann(n: int) -> np.ndarray:
+    """Symmetric Hann window (scipy ``get_window('hann', n)`` is periodic —
+    scipy.signal.welch uses ``sym=False``)."""
+    if n == 1:
+        return np.ones(1)
+    k = np.arange(n, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)
+
+
+def welch_psd(x: jnp.ndarray, fs: float, nperseg: int,
+              noverlap: Optional[int] = None
+              ) -> Tuple[np.ndarray, jnp.ndarray]:
+    """Welch power spectral density over axis -1 for ``(..., T)`` batches.
+
+    Matches ``scipy.signal.welch(x, fs, window='hann', nperseg, noverlap,
+    detrend='constant', scaling='density', average='mean')`` as called at
+    ``rppg_VIDEO.py:190-193``.  Implemented as framed+windowed ``rfft`` —
+    one fused XLA program, no per-segment Python loop.
+
+    Returns ``(freqs, psd)`` with host-side ``freqs``.
+    """
+    T = x.shape[-1]
+    nperseg = int(min(nperseg, T))
+    if noverlap is None:
+        noverlap = nperseg // 2
+    step = nperseg - noverlap
+    n_segments = (T - noverlap) // step
+
+    win = _hann(nperseg)
+    win_j = jnp.asarray(win, dtype=x.dtype)
+
+    # Frame: (..., n_segments, nperseg) via a static gather.
+    starts = np.arange(n_segments) * step
+    idx = starts[:, None] + np.arange(nperseg)[None, :]
+    segs = x[..., idx]
+
+    # detrend='constant': subtract per-segment mean.
+    segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
+    segs = segs * win_j
+
+    spec = jnp.fft.rfft(segs, axis=-1)
+    psd = (spec.real**2 + spec.imag**2)
+
+    scale = 1.0 / (fs * float(np.sum(win * win)))
+    psd = psd * jnp.asarray(scale, dtype=x.dtype)
+    # One-sided doubling (all bins except DC; Nyquist bin only if nperseg odd).
+    nfreq = psd.shape[-1]
+    doubling = np.ones(nfreq)
+    if nperseg % 2 == 0:
+        doubling[1:-1] = 2.0
+    else:
+        doubling[1:] = 2.0
+    psd = psd * jnp.asarray(doubling, dtype=x.dtype)
+
+    psd = jnp.mean(psd, axis=-2)  # average='mean' over segments
+    freqs = np.fft.rfftfreq(nperseg, d=1.0 / fs)
+    return freqs, psd
+
+
+def estimate_bpm_welch(signal: jnp.ndarray, fs: float, band: HRBand,
+                       segment_seconds: float = 9.0) -> BPMEstimate:
+    """Welch-PSD BPM estimate over axis -1 for ``(..., T)`` batches.
+
+    Mirrors ``estimate_bpm_welch`` (``rppg_VIDEO.py:172-235``): demean, 9 s
+    Hann segments with 50% overlap, in-band peak pick.
+    """
+    T = signal.shape[-1]
+    x = signal - jnp.mean(signal, axis=-1, keepdims=True)
+    nperseg = int(min(T, fs * segment_seconds))
+    freqs, psd = welch_psd(x, fs, nperseg)
+    mask = (freqs >= band.low_hz) & (freqs <= band.high_hz)
+    return bpm_peak_from_spectrum(psd, freqs, mask)
