@@ -1,0 +1,167 @@
+"""Tests: ROI geometry, holdover semantics, masked reductions, Pallas kernel."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vhr_tpu.config import ROIConfig
+from vhr_tpu.ops import reduce as vreduce
+from vhr_tpu.ops import roi as vroi
+from vhr_tpu.ops.pallas_roi import roi_channel_means_pallas
+
+RNG = np.random.default_rng(11)
+
+
+# --- reference ports (analysis/utils/roi.py:43-59) -------------------------
+
+def _ref_bbox(landmarks, w, h):
+    xs, ys = landmarks[:, 0], landmarks[:, 1]
+    return (int(max(0, xs.min() * w)), int(max(0, ys.min() * h)),
+            int(min(w - 1, xs.max() * w)), int(min(h - 1, ys.max() * h)))
+
+
+def _ref_cheek(bb, w, h, cfg: ROIConfig):
+    x1, y1, x2, y2 = bb
+    ry1 = int(np.clip(y1 + cfg.cheek_top * (y2 - y1), 0, h - 1))
+    ry2 = int(np.clip(y1 + cfg.cheek_bottom * (y2 - y1), 0, h))
+    rx1 = int(np.clip(x1 + cfg.cheek_horizontal * (x2 - x1), 0, w - 1))
+    rx2 = int(np.clip(x2 - cfg.cheek_horizontal * (x2 - x1), 0, w))
+    return rx1, ry1, rx2, ry2
+
+
+def test_bbox_from_landmarks_matches_reference():
+    w, h = 640, 480
+    lms = RNG.uniform(0.1, 0.9, size=(10, 478, 2))
+    ours = np.asarray(vroi.bbox_from_landmarks(jnp.asarray(lms), w, h))
+    for i in range(10):
+        assert tuple(ours[i]) == _ref_bbox(lms[i], w, h)
+
+
+def test_cheek_roi_matches_reference():
+    w, h = 640, 480
+    cfg = ROIConfig()
+    lms = RNG.uniform(0.05, 0.95, size=(20, 478, 2))
+    bbox = vroi.bbox_from_landmarks(jnp.asarray(lms), w, h)
+    ours = np.asarray(vroi.cheek_roi(bbox, cfg, w, h))
+    for i in range(20):
+        ref = _ref_cheek(_ref_bbox(lms[i], w, h), w, h, cfg)
+        assert tuple(ours[i]) == ref
+
+
+def _ref_holdover(valid, hold=15):
+    """Port of the *intended* reuse rule at analysis/utils/roi.py:91-101."""
+    out = []
+    last = None
+    budget = 0
+    for v in valid:
+        if v:
+            last = True
+            budget = hold
+            out.append(True)
+        elif last is not None and budget > 0:
+            budget -= 1
+            out.append(True)
+        else:
+            out.append(False)
+    return out
+
+
+@pytest.mark.parametrize("pattern", [
+    [True] * 10,
+    [False] * 5 + [True] * 5,
+    [True] + [False] * 20,          # budget exhaustion after 15
+    [True, False, False, True] * 5,
+    [False] * 3,                    # never detected
+])
+def test_holdover_matches_reference_semantics(pattern):
+    T = len(pattern)
+    boxes = jnp.asarray(RNG.integers(0, 100, size=(T, 4)), dtype=jnp.int32)
+    track = vroi.holdover(boxes, jnp.asarray(pattern), hold_frames=15)
+    assert list(np.asarray(track.valid)) == _ref_holdover(pattern)
+
+
+def test_holdover_reuses_last_box():
+    boxes = np.zeros((5, 4), np.int32)
+    boxes[0] = [1, 2, 3, 4]
+    boxes[3] = [5, 6, 7, 8]
+    valid = jnp.asarray([True, False, False, True, False])
+    track = vroi.holdover(jnp.asarray(boxes), valid)
+    got = np.asarray(track.box)
+    assert list(got[1]) == [1, 2, 3, 4]
+    assert list(got[2]) == [1, 2, 3, 4]
+    assert list(got[4]) == [5, 6, 7, 8]
+
+
+# --- reductions -------------------------------------------------------------
+
+def _random_rois(T, H, W):
+    rois = np.zeros((T, 4), np.int32)
+    for t in range(T):
+        x1 = RNG.integers(0, W - 2)
+        y1 = RNG.integers(0, H - 2)
+        rois[t] = [x1, y1, RNG.integers(x1 + 1, W), RNG.integers(y1 + 1, H)]
+    return rois
+
+
+def test_roi_channel_means_matches_numpy():
+    T, H, W = 6, 48, 64
+    frames = RNG.integers(0, 256, size=(T, H, W, 3), dtype=np.uint8)
+    rois = _random_rois(T, H, W)
+    means, count = vreduce.roi_channel_means(jnp.asarray(frames),
+                                             jnp.asarray(rois))
+    for t in range(T):
+        x1, y1, x2, y2 = rois[t]
+        patch = frames[t, y1:y2, x1:x2]
+        ref = patch.reshape(-1, 3).mean(axis=0)
+        np.testing.assert_allclose(np.asarray(means)[t], ref, rtol=1e-5)
+        assert float(count[t]) == patch.shape[0] * patch.shape[1]
+
+
+def test_roi_channel_means_empty_roi():
+    frames = RNG.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    rois = np.array([[5, 5, 5, 10], [3, 8, 10, 8]], np.int32)  # zero area
+    means, count = vreduce.roi_channel_means(jnp.asarray(frames),
+                                             jnp.asarray(rois))
+    assert np.all(np.asarray(count) == 0)
+    assert np.all(np.asarray(means) == 0)
+
+
+@pytest.mark.parametrize("shape", [(4, 40, 56), (3, 130, 96)])
+def test_pallas_roi_means_matches_xla(shape):
+    T, H, W = shape
+    frames = RNG.integers(0, 256, size=(T, H, W, 3), dtype=np.uint8)
+    rois = _random_rois(T, H, W)
+    m_ref, c_ref = vreduce.roi_channel_means(jnp.asarray(frames),
+                                             jnp.asarray(rois))
+    m, c = roi_channel_means_pallas(jnp.asarray(frames), jnp.asarray(rois),
+                                    row_block=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref))
+
+
+# --- bpp.py statistics -------------------------------------------------------
+
+def test_grayscale_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    frames = RNG.integers(0, 256, size=(3, 32, 48, 3), dtype=np.uint8)
+    ours = np.asarray(vreduce.grayscale_u8(jnp.asarray(frames)))
+    for t in range(3):
+        ref = cv2.cvtColor(frames[t], cv2.COLOR_BGR2GRAY)
+        np.testing.assert_array_equal(ours[t], ref)
+
+
+def test_video_stats_match_reference_math():
+    cv2 = pytest.importorskip("cv2")
+    frames = RNG.integers(0, 256, size=(4, 24, 24, 3), dtype=np.uint8)
+    stats = vreduce.video_stats(jnp.asarray(frames))
+    for t in range(4):
+        gray = cv2.cvtColor(frames[t], cv2.COLOR_BGR2GRAY)
+        hist = cv2.calcHist([gray], [0], None, [256], [0, 256])
+        hist = hist / hist.sum()
+        ent = -np.sum(hist * np.log2(hist + 1e-6))       # bpp.py:41-45
+        np.testing.assert_allclose(float(stats.entropy[t]), ent, rtol=1e-5)
+        np.testing.assert_allclose(float(stats.noise_variance[t]),
+                                   np.var(gray), rtol=1e-4)
+        np.testing.assert_allclose(float(stats.nsr[t]),
+                                   np.std(gray) / np.mean(gray), rtol=1e-5)

@@ -1,0 +1,132 @@
+"""ROI geometry as pure batched index math.
+
+TPU-native re-design of the reference's per-frame ROI extraction
+(``analysis/utils/roi.py:43-59``, ``rppg_VIDEO.py:49-55,91-103``): bounding
+boxes and ROI rectangles are ``(..., 4)`` int32 tensors ``[x1, y1, x2, y2]``
+computed for *all* frames at once; detection dropout becomes a validity mask
+threaded through a ``lax.scan`` holdover (mirroring the <=15-frame landmark
+reuse at ``analysis/utils/roi.py:10,91-95``) instead of Python branching.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ROIConfig
+
+__all__ = [
+    "BoxTrack",
+    "bbox_from_landmarks",
+    "roi_from_bbox",
+    "cheek_roi",
+    "forehead_roi",
+    "holdover",
+]
+
+
+class BoxTrack(NamedTuple):
+    """Per-frame boxes with validity after dropout holdover."""
+
+    box: jnp.ndarray    # (..., T, 4) int32 [x1, y1, x2, y2]
+    valid: jnp.ndarray  # (..., T) bool
+
+
+def bbox_from_landmarks(landmarks: jnp.ndarray, width: int, height: int
+                        ) -> jnp.ndarray:
+    """Face bounding box from normalized landmarks.
+
+    Mirrors ``_bbox_from_landmarks`` (``analysis/utils/roi.py:43-50``):
+    min/max over the landmark cloud, scaled to pixels, clamped to the frame.
+
+    Args:
+      landmarks: ``(..., L, 2)`` normalized [x, y] in [0, 1].
+    Returns:
+      ``(..., 4)`` int32 ``[x1, y1, x2, y2]``.
+    """
+    xs = landmarks[..., 0]
+    ys = landmarks[..., 1]
+    x1 = jnp.clip((jnp.min(xs, axis=-1) * width).astype(jnp.int32), 0, None)
+    y1 = jnp.clip((jnp.min(ys, axis=-1) * height).astype(jnp.int32), 0, None)
+    x2 = jnp.minimum((jnp.max(xs, axis=-1) * width).astype(jnp.int32), width - 1)
+    y2 = jnp.minimum((jnp.max(ys, axis=-1) * height).astype(jnp.int32), height - 1)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def roi_from_bbox(bbox: jnp.ndarray, horizontal: float, top: float,
+                  bottom: float, width: int, height: int) -> jnp.ndarray:
+    """Sub-rectangle of a bbox by ratios, clamped to the frame.
+
+    Mirrors ``get_roi_coords`` (``rppg_VIDEO.py:49-55``) /
+    ``_cheek_roi_from_bbox`` (``analysis/utils/roi.py:53-59``): the ROI spans
+    ``[x1 + r*(x2-x1), x2 - r*(x2-x1)]`` horizontally and
+    ``[y1 + top*h, y1 + bottom*h]`` vertically.
+
+    Args:
+      bbox: ``(..., 4)`` int32.
+    Returns:
+      ``(..., 4)`` int32 ``[x1, y1, x2, y2]`` (x2/y2 exclusive).
+    """
+    x1, y1, x2, y2 = (bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3])
+    bw = (x2 - x1).astype(jnp.float32)
+    bh = (y2 - y1).astype(jnp.float32)
+    # The reference truncates the *final* float expression (int(x2 - r*bw)),
+    # so the upper-x edge rounds via ceil of the margin.
+    rx1 = x1 + jnp.floor(horizontal * bw).astype(jnp.int32)
+    rx2 = x2 - jnp.ceil(horizontal * bw).astype(jnp.int32)
+    ry1 = y1 + jnp.floor(top * bh).astype(jnp.int32)
+    ry2 = y1 + jnp.floor(bottom * bh).astype(jnp.int32)
+    rx1 = jnp.clip(rx1, 0, width - 1)
+    ry1 = jnp.clip(ry1, 0, height - 1)
+    rx2 = jnp.clip(rx2, 0, width)
+    ry2 = jnp.clip(ry2, 0, height)
+    return jnp.stack([rx1, ry1, rx2, ry2], axis=-1)
+
+
+def cheek_roi(bbox: jnp.ndarray, cfg: ROIConfig, width: int, height: int
+              ) -> jnp.ndarray:
+    return roi_from_bbox(bbox, cfg.cheek_horizontal, cfg.cheek_top,
+                         cfg.cheek_bottom, width, height)
+
+
+def forehead_roi(bbox: jnp.ndarray, cfg: ROIConfig, width: int, height: int
+                 ) -> jnp.ndarray:
+    return roi_from_bbox(bbox, cfg.forehead_horizontal, cfg.forehead_top,
+                         cfg.forehead_bottom, width, height)
+
+
+def holdover(box: jnp.ndarray, valid: jnp.ndarray,
+             hold_frames: int = 15) -> BoxTrack:
+    """Detection-dropout tolerance as a scan over the time axis.
+
+    Mirrors the reference's reuse rule (``analysis/utils/roi.py:91-101``):
+    a detected frame refreshes the box and resets the budget; an undetected
+    frame reuses the last box for up to ``hold_frames`` frames; past the
+    budget (or before the first detection) the frame is invalid.  (The
+    reference's past-budget path also *double-yields* a stale ROI — a known
+    desync bug, SURVEY.md §4 item 1 — here the intent, a single invalid
+    sample, is implemented.)
+
+    Args:
+      box: ``(T, 4)`` int32 raw per-frame detections.
+      valid: ``(T,)`` bool detection success.
+    Returns:
+      :class:`BoxTrack` with holdover applied.
+    """
+    def step(carry, inp):
+        last_box, budget, has_last = carry
+        b, v = inp
+        new_last = jnp.where(v, b, last_box)
+        new_has = jnp.logical_or(v, has_last)
+        reuse_ok = jnp.logical_and(jnp.logical_not(v),
+                                   jnp.logical_and(has_last, budget > 0))
+        new_budget = jnp.where(v, hold_frames,
+                               jnp.where(reuse_ok, budget - 1, budget))
+        out_valid = jnp.logical_or(v, reuse_ok)
+        return (new_last, new_budget, new_has), (new_last, out_valid)
+
+    init = (jnp.zeros((4,), jnp.int32), jnp.int32(0), jnp.asarray(False))
+    _, (boxes, valids) = jax.lax.scan(step, init, (box, valid))
+    return BoxTrack(box=boxes, valid=valids)
