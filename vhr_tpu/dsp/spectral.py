@@ -103,6 +103,43 @@ def estimate_bpm_multichannel(signal: jnp.ndarray, fs: float,
     return BPMEstimate(bpm=bpm, valid=valid, peak_power=peak)
 
 
+def estimate_bpm_multichannel_exact(signal: jnp.ndarray, n_valid,
+                                    fs: float, band: HRBand) -> BPMEstimate:
+    """Multichannel FFT peak on a zero-padded ``(T_pad, C)`` signal whose true
+    length is the (possibly traced) scalar ``n_valid``.
+
+    Evaluates the DFT on the *true* length-N frequency grid ``k*fs/N``
+    explicitly, so one compiled program reproduces
+    ``analysis/utils/estimate_bpm.py`` for every window length — the
+    acquisition-ramp companion of :func:`estimate_bpm_multichannel`.
+    Padded rows must be zero and the signal zero-mean over its valid rows
+    (true for ICA sources).
+    """
+    T = signal.shape[-2]
+    N = jnp.asarray(n_valid, signal.dtype)
+    n = jnp.arange(T, dtype=signal.dtype)
+    k_max = int(np.floor(band.high_hz * T / fs))
+    k = jnp.arange(k_max + 1, dtype=signal.dtype)
+
+    ang = (-2.0 * jnp.pi / N) * k[:, None] * n[None, :]     # (K, T)
+    re = jnp.cos(ang) @ signal                              # (K, C)
+    im = jnp.sin(ang) @ signal
+    mags = jnp.sqrt(re * re + im * im)
+
+    freq = k * (fs / N)
+    half = jnp.floor((N - 1.0) / 2.0)
+    mask = ((freq >= band.low_hz) & (freq <= band.high_hz)
+            & (k >= 1.0) & (k <= half))                     # (K,)
+    neg = jnp.asarray(-jnp.inf, mags.dtype)
+    banded = jnp.where(mask[:, None], mags, neg)            # (K, C)
+    peak_idx = jnp.argmax(banded, axis=0)                   # (C,)
+    peak_mag = jnp.take_along_axis(banded, peak_idx[None, :], axis=0)[0]
+    best = jnp.argmax(peak_mag)
+    bpm = freq[peak_idx[best]] * 60.0
+    valid = jnp.logical_and(jnp.any(mask), N >= 8)
+    return BPMEstimate(bpm=bpm, valid=valid, peak_power=peak_mag[best])
+
+
 def _hann(n: int) -> np.ndarray:
     """Symmetric Hann window (scipy ``get_window('hann', n)`` is periodic —
     scipy.signal.welch uses ``sym=False``)."""

@@ -1,0 +1,236 @@
+"""Offline rPPG pipelines: whole-video batched array programs.
+
+One engine replaces the reference's three divergent copies of the pipeline
+(``rppg_VIDEO.py`` main loop, ``analysis/measurement/green_avg.py``,
+``analysis/measurement/ica.py``): frames flow as a ``(T, H, W, 3)`` tensor
+through batched detection, ROI reduction and windowed spectral estimation —
+every stage jitted, no per-frame Python.
+
+Public measures return the reference's contract: ``(N, 2)`` float arrays of
+``[timestamp_s, bpm]`` rows (``analysis/README.md`` measurement contract),
+so the analysis harness and metrics are drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BAND_ANALYSIS, ICAConfig, PipelineConfig
+from ..dsp import filters, ica as ica_mod, spectral
+from ..models import skin_detector
+from ..ops import reduce as vreduce
+from ..ops import roi as vroi
+from ..ops import windows as vwin
+
+__all__ = [
+    "SignalTrace",
+    "extract_signals",
+    "measure_green_avg",
+    "measure_ica",
+    "measure_app_welch",
+    "to_measurement_array",
+]
+
+# A detector maps (T, H, W, 3) u8 -> ((T, 4) int32 boxes, (T,) bool valid).
+DetectorFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+class SignalTrace(NamedTuple):
+    """Per-frame ROI channel means with tracking metadata."""
+
+    bgr: jnp.ndarray       # (T, 3) float32 ROI channel means (BGR)
+    valid: jnp.ndarray     # (T,) bool — detector+holdover validity
+    rois: jnp.ndarray      # (T, 4) int32 cheek ROI boxes
+    boxes: jnp.ndarray     # (T, 4) int32 face boxes after holdover
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "detector", "use_pallas"))
+def extract_signals(frames: jnp.ndarray,
+                    cfg: PipelineConfig = PipelineConfig(),
+                    detector: Optional[DetectorFn] = None,
+                    use_pallas: bool = False) -> SignalTrace:
+    """Frames -> per-frame cheek-ROI channel means (the L2+L3 layers).
+
+    Mirrors ``analysis/utils/roi.py:get_roi`` + the per-frame channel mean
+    (``green_avg.py:34``, ``ica.py:48``), including the <=15-frame landmark
+    holdover, as one batched program.
+    """
+    T, H, W, _ = frames.shape
+    det = detector or skin_detector.detect_faces
+    raw_boxes, raw_valid = det(frames)
+    track = vroi.holdover(raw_boxes, raw_valid, cfg.roi.landmark_hold_frames)
+    rois = vroi.cheek_roi(track.box, cfg.roi, W, H)
+    rois = jnp.where(track.valid[:, None], rois, 0)
+    if use_pallas:
+        from ..ops.pallas_roi import roi_channel_means_pallas
+        means, _ = roi_channel_means_pallas(frames, rois)
+    else:
+        means, _ = vreduce.roi_channel_means(frames, rois)
+    return SignalTrace(bgr=means, valid=track.valid, rois=rois,
+                       boxes=track.box)
+
+
+def _fill_invalid(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Carry the last valid sample forward over dropouts (scan)."""
+    def step(carry, inp):
+        v, ok = inp
+        new = jnp.where(ok, v, carry)
+        return new, new
+    _, filled = jax.lax.scan(step, jnp.zeros_like(x[0]), (x, valid))
+    return filled
+
+
+def measure_green_avg(frames: jnp.ndarray, fps: float,
+                      cfg: PipelineConfig = PipelineConfig(),
+                      detector: Optional[DetectorFn] = None,
+                      use_pallas: bool = False) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The canonical green-channel measure (``green_avg.py:11-52``).
+
+    Returns per-frame ``(timestamps, bpm, valid)`` arrays; see
+    :func:`to_measurement_array` for the reference's (N, 2) contract.
+    """
+    trace = extract_signals(frames, cfg, detector, use_pallas)
+    green = _fill_invalid(trace.bgr[:, cfg.channel], trace.valid)
+    rolling = vwin.rolling_bpm_fft(
+        green, fps, cfg.band,
+        window_len=cfg.window_len(fps),
+        acquisition_len=cfg.acquisition_len(fps))
+    T = frames.shape[0]
+    ts = np.arange(T) / fps
+    valid = jnp.logical_and(rolling.valid, trace.valid)
+    return ts, np.asarray(rolling.bpm), np.asarray(valid)
+
+
+def measure_ica(frames: jnp.ndarray, fps: float,
+                cfg: PipelineConfig = PipelineConfig(),
+                icacfg: ICAConfig = ICAConfig(),
+                detector: Optional[DetectorFn] = None,
+                use_pallas: bool = False) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The ICA measure (``analysis/measurement/ica.py:14-78``).
+
+    Per frame after acquisition: std-normalize the (window, 3) BGR means
+    (ddof=1, ``ica.py:59-61``), FastICA, skip non-converged windows, pick the
+    best independent component's in-band FFT peak.  All windows solve as one
+    vmapped batch instead of one sklearn fit per frame.
+    """
+    trace = extract_signals(frames, cfg, detector, use_pallas)
+    bgr = _fill_invalid(trace.bgr, trace.valid)             # (T, 3)
+    T = frames.shape[0]
+    window_len = int(icacfg.window_seconds * fps)
+    acq_len = int(icacfg.acquisition_seconds * fps)
+    ts = np.arange(T) / fps
+    bpm = np.zeros(T, np.float32)
+    valid = np.zeros(T, bool)
+    first = acq_len - 1
+    if first >= T:
+        return ts, bpm, valid
+
+    w_init = ica_mod.default_w_init(icacfg.n_components, icacfg.seed)
+
+    def _masked_norm(wins, n_valid):
+        """Per-window std-normalize (ddof=1) over valid rows (ica.py:59-61)."""
+        keep = (jnp.arange(wins.shape[1]) < n_valid[:, None])[..., None]
+        n = n_valid.astype(wins.dtype)[:, None, None]
+        mean = jnp.sum(jnp.where(keep, wins, 0.0), axis=1, keepdims=True) / n
+        var = jnp.sum(jnp.where(keep, (wins - mean) ** 2, 0.0),
+                      axis=1, keepdims=True) / (n - 1.0)
+        std = jnp.sqrt(var)
+        std = jnp.where(std == 0, 1.0, std)
+        return jnp.where(keep, wins / std, 0.0)
+
+    @jax.jit
+    def run_ramp(prefix, n_valids):
+        """All growing windows bgr[:N] for N in n_valids, one compile."""
+        wins = jnp.broadcast_to(prefix[None], (n_valids.shape[0],) + prefix.shape)
+        norm = _masked_norm(wins, n_valids)
+        res = ica_mod.ica_sources(norm, w_init, icacfg.max_iter, icacfg.tol,
+                                  n_valid=n_valids)
+        est = jax.vmap(lambda s, nv: spectral.estimate_bpm_multichannel_exact(
+            s, nv, fps, cfg.band))(res.sources, n_valids)
+        return est.bpm, jnp.logical_and(est.valid, res.converged)
+
+    @jax.jit
+    def run_steady(wins):
+        n = wins.shape[1]
+        std = jnp.std(wins, axis=1, keepdims=True) * jnp.sqrt(n / (n - 1.0))
+        std = jnp.where(std == 0, 1.0, std)
+        res = ica_mod.ica_sources(wins / std, w_init, icacfg.max_iter,
+                                  icacfg.tol)
+        est = spectral.estimate_bpm_multichannel(res.sources, fps, cfg.band)
+        return est.bpm, jnp.logical_and(est.valid, res.converged)
+
+    # Ramp: frame i sees bgr[:i+1] (deque still filling, ica.py:31-38).
+    ramp_end = min(window_len - 1, T - 1)
+    if ramp_end >= first:
+        lengths = jnp.arange(first + 1, ramp_end + 2)
+        b, v = run_ramp(bgr[: ramp_end + 1], lengths)
+        bpm[first:ramp_end + 1] = np.asarray(b)
+        valid[first:ramp_end + 1] = np.asarray(v)
+    # Steady: full-length sliding windows as one batch.
+    if T >= window_len:
+        wins = vwin.sliding_windows(bgr, window_len)        # (T-W+1, W, 3)
+        b, v = run_steady(wins)
+        bpm[window_len - 1:] = np.asarray(b)
+        valid[window_len - 1:] = np.asarray(v)
+
+    valid &= np.asarray(trace.valid)
+    return ts, bpm, valid
+
+
+def measure_app_welch(frames: jnp.ndarray, fps: float,
+                      cfg: PipelineConfig = PipelineConfig(),
+                      detector: Optional[DetectorFn] = None,
+                      use_pallas: bool = False
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The interactive app's analysis loop (``rppg_VIDEO.py:392-415``):
+    10 s sliding window, demean, zero-phase bandpass (per ``cfg.filter``),
+    Welch PSD peak.  Runs every window as one batched program."""
+    from ..dsp import design
+
+    trace = extract_signals(frames, cfg, detector, use_pallas)
+    green = _fill_invalid(trace.bgr[:, cfg.channel], trace.valid)
+    T = frames.shape[0]
+    window_len = cfg.window_len(fps)
+    ts = np.arange(T) / fps
+    bpm = jnp.zeros(T, jnp.float32)
+    valid = jnp.zeros(T, bool)
+    # Reference condition: len(deque) > window_len  (rppg_VIDEO.py:396).
+    if T <= window_len:
+        return ts, np.asarray(bpm), np.asarray(valid)
+
+    wins = vwin.sliding_windows(green, window_len)[1:]      # frames W..T-1
+    wins = wins - jnp.mean(wins, axis=-1, keepdims=True)
+
+    fc = cfg.filter
+    if fc.kind == "fir":
+        b = design.firwin_bandpass(fc.fir_numtaps,
+                                   cfg.band.low_hz / (0.5 * fps),
+                                   cfg.band.high_hz / (0.5 * fps))
+        filt = filters.filtfilt_fir(b, wins.T).T
+    else:
+        sos = design.sos_design(fc.kind, fps, cfg.band.low_hz,
+                                cfg.band.high_hz, fc.order,
+                                fc.cheby2_stop_atten_db)
+        filt = filters.sosfiltfilt(sos, wins.T).T
+
+    est = spectral.estimate_bpm_welch(filt, fps, cfg.band,
+                                      cfg.welch.segment_seconds)
+    bpm = bpm.at[window_len:].set(est.bpm)
+    valid = valid.at[window_len:].set(est.valid)
+    valid = jnp.logical_and(valid, trace.valid)
+    return ts, np.asarray(bpm), np.asarray(valid)
+
+
+def to_measurement_array(ts: np.ndarray, bpm: np.ndarray,
+                         valid: np.ndarray) -> np.ndarray:
+    """Collapse per-frame results to the reference's ``(N, 2)`` contract
+    (rows only where an estimate exists, ``green_avg.py:47-52``)."""
+    keep = np.asarray(valid, bool)
+    return np.column_stack([np.asarray(ts)[keep],
+                            np.asarray(bpm, np.float64)[keep]])
