@@ -1,0 +1,93 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vhr_tpu.config import PipelineConfig
+from vhr_tpu.dsp import design, filters
+from vhr_tpu.parallel import mesh as vmesh
+from vhr_tpu.parallel import streams, time_shard
+from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+
+@pytest.fixture(scope="module")
+def devices():
+    ds = jax.devices()
+    assert len(ds) >= 8, "conftest must fake 8 CPU devices"
+    return ds[:8]
+
+
+def test_multistream_sharded_matches_single(devices):
+    m = vmesh.stream_mesh(devices)
+    clips = [synthesize(SynthSpec(duration_s=12.0, bpm=60.0 + 5 * i,
+                                  height=48, width=64, seed=i))
+             for i in range(8)]
+    frames = jnp.asarray(np.stack([c.frames for c in clips]))
+    fps = clips[0].fps
+    cfg = PipelineConfig(window_seconds=8.0, acquisition_seconds=4.0)
+    frames = vmesh.shard(frames, m, "stream")
+    res = streams.multistream_green_bpm(frames, fps, m, cfg)
+    bpm = np.asarray(res.bpm)
+    valid = np.asarray(res.valid)
+    W = cfg.window_len(fps)
+    for i in range(8):
+        assert valid[i, W:].all()
+        err = np.abs(bpm[i, W:] - (60.0 + 5 * i))
+        assert err.mean() <= 8.0, f"stream {i}: {err.mean()}"
+
+
+def test_halo_sosfiltfilt_matches_global(devices):
+    m = vmesh.make_mesh(("time",), devices=devices)
+    sos = design.butter_bandpass_sos(2, 0.7 / 15.0, 2.0 / 15.0)
+    rng = np.random.default_rng(0)
+    T = 8 * 512
+    t = np.arange(T) / 30.0
+    x = np.sin(2 * np.pi * 1.2 * t) + 0.1 * rng.standard_normal(T)
+    x = jnp.asarray(x, jnp.float64)
+
+    y_global = filters.sosfiltfilt(sos, x)
+    xs = vmesh.shard(x, m, "time")
+    y_sharded = time_shard.halo_sosfiltfilt(sos, xs, m)
+    np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_global),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_default_halo_reasonable():
+    sos = design.butter_bandpass_sos(2, 0.7 / 15.0, 2.0 / 15.0)
+    h = time_shard.default_halo(sos)
+    assert 10 < h < 5000
+
+
+def test_train_step_sharded(devices):
+    """dp x tp sharded landmark training step runs and reduces the loss."""
+    from vhr_tpu.models import train as vtrain
+    m = vmesh.train_mesh(4, 2, devices=devices)
+    cfg = vtrain.TrainConfig(batch_size=16)
+    model, params, tx, opt_state = vtrain.init_state(
+        cfg, jax.random.PRNGKey(0))
+    step = vtrain.make_train_step(model, tx, cfg, mesh=m,
+                                  params_example=params)
+    rng = np.random.default_rng(0)
+    p_shard = vtrain.param_shardings(params, m)
+    params = jax.tree.map(jax.device_put, params, p_shard)
+    losses = []
+    for _ in range(3):
+        batch = {k: jnp.asarray(v) for k, v in
+                 vtrain.synth_batch(cfg, rng).items()}
+        params, opt_state, loss, aux = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # Check tensor-parallel layout actually applied to a big kernel.
+    trunk = params["trunk"]["kernel"]
+    assert "model" in str(trunk.sharding.spec)
+
+
+def test_landmarker_learns_synthetic_faces():
+    """A short single-device training run reduces loss substantially."""
+    from vhr_tpu.models import train as vtrain
+    cfg = vtrain.TrainConfig(batch_size=32)
+    model, params, losses = vtrain.train(cfg, steps=30, seed=1)
+    assert losses[-1] < losses[0] * 0.5, losses[::10]

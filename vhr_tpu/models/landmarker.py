@@ -1,0 +1,105 @@
+"""Flax face-landmark model: the TPU-native FaceLandmarker equivalent.
+
+The reference delegates face analysis to MediaPipe's C++ FaceLandmarker
+(TFLite graphs in ``face_landmarker.task``; set up at ``rppg_VIDEO.py:39-46``
+and used per frame at ``rppg_VIDEO.py:380``).  The rPPG pipeline only ever
+consumes the landmark cloud's min/max bounding box (``rppg_VIDEO.py:93-98``),
+so this model regresses a landmark set + face-presence score from a
+downsampled frame, batched over ``(streams, T)`` under ``jit``/``pjit``.
+
+Architecture: a BlazeFace-flavored depthwise-separable conv backbone sized
+for the MXU (bfloat16 matmuls, channel counts multiples of 128 at the deep
+end), with two dense heads (landmarks, presence).  Weights train on the
+synthetic face generator (``vhr_tpu.models.train``) and checkpoint via
+orbax; converted external checkpoints can be loaded into the same tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LandmarkerConfig", "FaceLandmarker", "preprocess_frames",
+           "landmarks_to_bbox_valid"]
+
+
+@dataclasses.dataclass(frozen=True, unsafe_hash=True)
+class LandmarkerConfig:
+    input_size: int = 96
+    num_landmarks: int = 68
+    stem_features: int = 32
+    block_features: Tuple[int, ...] = (64, 128, 128, 256)
+    compute_dtype: Any = jnp.bfloat16
+
+
+class _SeparableBlock(nn.Module):
+    """Depthwise 3x3 (stride 2) + pointwise 1x1, BN-free (GroupNorm)."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        x = nn.Conv(features=c_in, kernel_size=(3, 3), strides=(2, 2),
+                    feature_group_count=c_in, dtype=self.dtype, name="dw")(x)
+        x = nn.Conv(features=self.features, kernel_size=(1, 1),
+                    dtype=self.dtype, name="pw")(x)
+        x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class FaceLandmarker(nn.Module):
+    """``(B, S, S, 3)`` float in [0,1] -> (landmarks (B, L, 2), presence (B,))."""
+
+    cfg: LandmarkerConfig = LandmarkerConfig()
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = x.astype(c.compute_dtype)
+        x = nn.Conv(features=c.stem_features, kernel_size=(3, 3),
+                    strides=(2, 2), dtype=c.compute_dtype, name="stem")(x)
+        x = nn.relu(x)
+        for i, f in enumerate(c.block_features):
+            x = _SeparableBlock(features=f, dtype=c.compute_dtype,
+                                name=f"block{i}")(x)
+        x = jnp.mean(x, axis=(1, 2))                      # global average pool
+        x = x.astype(jnp.float32)
+        feat = nn.Dense(256, name="trunk")(x)
+        feat = nn.relu(feat)
+        lm = nn.Dense(c.num_landmarks * 2, name="landmark_head")(feat)
+        lm = nn.sigmoid(lm).reshape(x.shape[0], c.num_landmarks, 2)
+        presence = nn.Dense(1, name="presence_head")(feat)[:, 0]
+        return lm, presence
+
+
+def preprocess_frames(frames: jnp.ndarray, input_size: int) -> jnp.ndarray:
+    """``(B, H, W, 3)`` uint8 BGR -> ``(B, S, S, 3)`` float RGB in [0, 1].
+
+    Mirrors the reference's BGR->RGB conversion before detection
+    (``rppg_VIDEO.py:376``); resize is a single fused XLA gather/conv.
+    """
+    rgb = frames[..., ::-1].astype(jnp.float32) / 255.0
+    B = frames.shape[0]
+    return jax.image.resize(rgb, (B, input_size, input_size, 3), "linear")
+
+
+def landmarks_to_bbox_valid(landmarks: jnp.ndarray, presence: jnp.ndarray,
+                            width: int, height: int,
+                            threshold: float = 0.0
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Landmark cloud -> (boxes, valid), the detector interface.
+
+    The bbox is the landmark min/max scaled to pixels (``rppg_VIDEO.py:93-98``
+    via ``vhr_tpu.ops.roi.bbox_from_landmarks``); validity is the presence
+    logit against ``threshold``.
+    """
+    from ..ops.roi import bbox_from_landmarks
+    boxes = bbox_from_landmarks(landmarks, width, height)
+    return boxes, presence > threshold
