@@ -1,0 +1,127 @@
+"""Analysis sweep CLI: degradations x measurement methods x metrics.
+
+Orchestration parity with ``analysis/main.py``: resolve a video and its
+ground-truth CSV, run every (degradation level, method) combination, persist
+each measurement as ``.npy`` under
+``results/<stem>/measurements/<method>/<degradation>/<label>.npy``, then run
+every registered metric over the collected results.
+
+Usage::
+
+    python -m vhr_tpu.analysis.main --video face.mp4 \
+        --degradation colour_noise --methods green_avg ica
+
+Differences from the reference: plugins resolve through a registry (plus
+filesystem paths for user plugins), multiple degradations can be swept in one
+invocation, and a machine-readable ``summary.json`` records the run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+from . import registry
+from ..io import video as vio
+
+ORIGINAL = "original"
+
+
+def apply_degradation(name: str, video_path: str):
+    """Yield (degraded_path, label) tuples (``analysis/main.py:20-26``)."""
+    if name == ORIGINAL:
+        return [(video_path, ORIGINAL)]
+    return registry.get_degradation(name).apply(video_path)
+
+
+def apply_measurement(video_path: str, method: str) -> np.ndarray:
+    return registry.get_measurement(method).measure(video_path)
+
+
+def run_sweep(video_path: str, truth_path: str, degradations, methods,
+              results_dir: str = "results", metrics_dir: str = None
+              ) -> Dict[str, Dict[str, Dict[str, np.ndarray]]]:
+    """Programmatic entry: returns {degradation: {method: {label: (N,2)}}}."""
+    truth = vio.read_truth_csv(truth_path)
+    base = Path(video_path).stem
+    all_results = {}
+
+    for degradation in degradations:
+        print(f"applying degradation: {degradation}")
+        results: Dict[str, Dict[str, np.ndarray]] = {m: {} for m in methods}
+        for degraded_path, label in apply_degradation(degradation, video_path):
+            print(f"  level: {label}")
+            for method in methods:
+                print(f"    measuring with {method}")
+                measurement = apply_measurement(degraded_path, method)
+                results[method][label] = measurement
+                out_dir = Path(results_dir) / base / "measurements" / \
+                    method / degradation
+                out_dir.mkdir(parents=True, exist_ok=True)
+                np.save(out_dir / f"{label}.npy", measurement)
+
+        plots_dir = os.path.join(results_dir, base, "plots")
+        for name, module in registry.iter_metrics(metrics_dir):
+            print(f"  metric: {name}")
+            module.plot(truth, results, x_label=degradation,
+                        output_dir=plots_dir)
+        all_results[degradation] = results
+
+    summary = {
+        "video": str(video_path),
+        "truth": str(truth_path),
+        "degradations": list(degradations),
+        "methods": list(methods),
+        "rows": {d: {m: {lbl: int(arr.shape[0])
+                         for lbl, arr in by_label.items()}
+                     for m, by_label in by_m.items()}
+                 for d, by_m in all_results.items()},
+    }
+    with open(os.path.join(results_dir, base, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return all_results
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="HR estimation under degradation (TPU-native)")
+    parser.add_argument("--video", required=True,
+                        help="input video filename (in --videos-dir or a path)")
+    parser.add_argument("--degradation", nargs="*", default=[ORIGINAL],
+                        help="degradation technique(s); default original only")
+    parser.add_argument("--methods", nargs="+", required=True,
+                        help="measurement methods to apply")
+    parser.add_argument("--videos-dir", default="videos")
+    parser.add_argument("--results-dir", default="results")
+    parser.add_argument("--truth", default=None,
+                        help="ground-truth CSV (default <video stem>.csv)")
+    parser.add_argument("--metrics-dir", default=None,
+                        help="extra directory of metric plugin files")
+    args = parser.parse_args(argv)
+
+    video_path = args.video if os.path.exists(args.video) else \
+        os.path.join(args.videos_dir, args.video)
+    if not os.path.exists(video_path):
+        print(f"video not found: {args.video}")
+        return 1
+
+    truth_path = args.truth or os.path.join(
+        os.path.dirname(video_path), f"{Path(video_path).stem}.csv")
+    if not os.path.exists(truth_path):
+        print(f"ground truth not found: {truth_path}")
+        return 1
+
+    os.environ.setdefault("VHR_RESULTS_DIR", args.results_dir)
+    run_sweep(video_path, truth_path, args.degradation, args.methods,
+              results_dir=args.results_dir, metrics_dir=args.metrics_dir)
+    print("done")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
