@@ -1,0 +1,78 @@
+"""Live streaming driver tests: causal filtering, ring Welch, holdover."""
+
+import numpy as np
+import pytest
+import scipy.signal as sp
+import jax
+import jax.numpy as jnp
+
+from vhr_tpu.config import HRBand
+from vhr_tpu.dsp import design
+from vhr_tpu.pipeline import live
+from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return synthesize(SynthSpec(duration_s=25.0, bpm=72.0, height=48,
+                                width=64, fps=30.0, noise_std=0.5))
+
+
+def test_live_stream_recovers_bpm(clip):
+    cfg = live.LiveConfig(fps=clip.fps)
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False)
+    outs = []
+    for f in clip.frames:
+        st, out = stp(st, jnp.asarray(f))
+        outs.append(out)
+    bpms = np.array([float(o.bpm) for o in outs])
+    valid = np.array([bool(o.bpm_valid) for o in outs])
+    # Welch needs a full 9 s segment (270 samples at 30 fps).
+    assert not valid[:269].any()
+    assert valid[280:].all()
+    err = np.abs(bpms[valid] - 72.0)
+    assert np.median(err) <= 7.0  # welch bin resolution ~6.7 BPM
+
+
+def test_live_filter_matches_scipy_streaming(clip):
+    """green_filtered must equal scipy sosfilt with carried zi on the same
+    raw greens (rppg_LIVESTREAM.py:245-251 semantics)."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False)
+    raws, filts = [], []
+    for f in clip.frames[:90]:
+        st, out = stp(st, jnp.asarray(f))
+        raws.append(float(out.green_raw))
+        filts.append(float(out.green_filtered))
+    sos = design.sos_design("butterworth", cfg.fps, cfg.band.low_hz,
+                            cfg.band.high_hz, cfg.filter_order)
+    ref, _ = sp.sosfilt(sos, np.asarray(raws),
+                        zi=np.zeros((sos.shape[0], 2)))
+    np.testing.assert_allclose(np.asarray(filts), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_live_holdover_on_dropout():
+    v = synthesize(SynthSpec(duration_s=3.0, height=48, width=64,
+                             dropout_frames=tuple(range(30, 36))))
+    cfg = live.LiveConfig(fps=v.fps)
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False)
+    face_valid = []
+    for f in v.frames:
+        st, out = stp(st, jnp.asarray(f))
+        face_valid.append(bool(out.face_valid))
+    # 6-frame dropout bridged by the 15-frame holdover.
+    assert all(face_valid[30:36])
+
+
+def test_live_state_is_a_fixed_pytree(clip):
+    """State never changes structure/shape -> one compilation, no leaks."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False)
+    st1, _ = stp(st, jnp.asarray(clip.frames[0]))
+    assert jax.tree.structure(st) == jax.tree.structure(st1)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st1)):
+        assert a.shape == b.shape and a.dtype == b.dtype

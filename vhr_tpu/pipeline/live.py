@@ -1,0 +1,191 @@
+"""Live streaming rPPG: a carried-state step function compiled once.
+
+TPU-native re-design of ``rppg_LIVESTREAM.py``: the reference mutates global
+deques and a module-level SOS state from an async MediaPipe callback
+(``rppg_LIVESTREAM.py:39-41,224-251`` — a benign data race by design,
+SURVEY.md §5).  Here the entire per-frame update is one pure function
+``(state, frame) -> (state, output)``: detector, landmark holdover, ROI
+mean, one causal SOS step (``live_sos_push`` semantics), ring-buffer write,
+and a masked Welch BPM — jitted once, so the host loop is a single device
+dispatch per frame (the 33 ms latency budget path, BASELINE config 4).
+``vmap`` the step to monitor many webcams per chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BAND_LIVE, HRBand, PipelineConfig, ROIConfig
+from ..dsp import design, filters
+from ..models import skin_detector
+from ..ops import reduce as vreduce
+from ..ops import roi as vroi
+
+__all__ = ["LiveConfig", "LiveState", "LiveOutput", "init_state", "step",
+           "make_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LiveConfig:
+    band: HRBand = BAND_LIVE                    # rppg_LIVESTREAM.py:34-35
+    filter_order: int = 4                       # rppg_LIVESTREAM.py:299
+    ring_len: int = 500                         # deque maxlen, :15-17
+    welch_segment_seconds: float = 9.0          # :146
+    roi: ROIConfig = ROIConfig()
+    fps: float = 30.0
+
+
+class LiveState(NamedTuple):
+    ring_raw: jnp.ndarray     # (N,) raw green samples (circular)
+    ring_filt: jnp.ndarray    # (N,) causally-filtered samples (circular)
+    count: jnp.ndarray        # () total samples written
+    zi: jnp.ndarray           # (S, 2) streaming SOS state
+    last_box: jnp.ndarray     # (4,) last face box
+    hold_budget: jnp.ndarray  # () remaining reuse frames
+    has_last: jnp.ndarray     # () bool
+
+
+class LiveOutput(NamedTuple):
+    bpm: jnp.ndarray
+    bpm_valid: jnp.ndarray
+    green_raw: jnp.ndarray
+    green_filtered: jnp.ndarray
+    box: jnp.ndarray
+    face_valid: jnp.ndarray
+
+
+def _sos(cfg: LiveConfig) -> np.ndarray:
+    return design.sos_design("butterworth", cfg.fps, cfg.band.low_hz,
+                             cfg.band.high_hz, cfg.filter_order)
+
+
+def init_state(cfg: LiveConfig = LiveConfig()) -> LiveState:
+    """Zeroed state, mirroring ``live_sos_init`` (rppg_LIVESTREAM.py:230-234)."""
+    n_sections = _sos(cfg).shape[0]
+    return LiveState(
+        ring_raw=jnp.zeros((cfg.ring_len,), jnp.float32),
+        ring_filt=jnp.zeros((cfg.ring_len,), jnp.float32),
+        count=jnp.int32(0),
+        zi=jnp.zeros((n_sections, 2), jnp.float32),
+        last_box=jnp.zeros((4,), jnp.int32),
+        hold_budget=jnp.int32(0),
+        has_last=jnp.asarray(False),
+    )
+
+
+def _masked_welch_bpm(ordered: jnp.ndarray, n_valid: jnp.ndarray,
+                      fps: float, band: HRBand, segment_seconds: float
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Welch PSD peak over the chronologically-ordered ring.
+
+    ``ordered[-n_valid:]`` is real data (older slots zero).  Segments fully
+    inside the valid suffix contribute to the mean PSD; with a full ring this
+    is exactly the reference's ``estimate_bpm_welch`` on the 500-deque.
+    """
+    N = ordered.shape[0]
+    nperseg = int(min(N, fps * segment_seconds))
+    noverlap = nperseg // 2
+    step_len = nperseg - noverlap
+    n_segments = (N - noverlap) // step_len
+
+    # Segments anchor at the start of the *valid suffix* (scipy's welch
+    # anchors at the deque's oldest sample), so during ring fill the newest
+    # 9 s segment is used as soon as it exists.
+    base = N - n_valid
+    starts = jnp.asarray(np.arange(n_segments) * step_len)
+    idx = (base + starts[:, None]
+           + jnp.asarray(np.arange(nperseg))[None, :])       # (S, L)
+    idx = jnp.minimum(idx, N - 1)
+    segs = ordered[idx]                                      # (S, L)
+    seg_ok = starts + nperseg <= n_valid                     # (S,)
+
+    # Demean over valid data only (the reference demeans the whole deque).
+    total = jnp.sum(ordered) / jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+    segs = segs - total
+    segs = segs - jnp.mean(segs, axis=-1, keepdims=True)     # detrend const
+
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(nperseg) / nperseg)
+    win_j = jnp.asarray(win, jnp.float32)
+    spec = jnp.fft.rfft(segs * win_j, axis=-1)
+    psd = spec.real**2 + spec.imag**2
+    scale = 1.0 / (fps * float(np.sum(win * win)))
+    doubling = np.ones(psd.shape[-1])
+    if nperseg % 2 == 0:
+        doubling[1:-1] = 2.0
+    else:
+        doubling[1:] = 2.0
+    psd = psd * (scale * jnp.asarray(doubling, jnp.float32))
+
+    w = seg_ok.astype(jnp.float32)[:, None]
+    mean_psd = jnp.sum(psd * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+    freqs = np.fft.rfftfreq(nperseg, d=1.0 / fps)
+    mask = jnp.asarray((freqs >= band.low_hz) & (freqs <= band.high_hz))
+    banded = jnp.where(mask, mean_psd, -jnp.inf)
+    k = jnp.argmax(banded)
+    bpm = jnp.asarray(freqs, jnp.float32)[k] * 60.0
+    valid = jnp.logical_and(jnp.any(seg_ok), n_valid >= nperseg)
+    return bpm, valid
+
+
+def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig
+         ) -> Tuple[LiveState, LiveOutput]:
+    """One frame update (pure; jit via :func:`make_step`)."""
+    H, W, _ = frame.shape
+    sos = _sos(cfg)
+
+    boxes, det_valid = skin_detector.detect_faces(frame[None])
+    box, v = boxes[0], det_valid[0]
+
+    # Landmark holdover, single-step (analysis/utils/roi.py:91-101 rule).
+    new_last = jnp.where(v, box, state.last_box)
+    new_has = jnp.logical_or(v, state.has_last)
+    reuse_ok = jnp.logical_and(~v, jnp.logical_and(state.has_last,
+                                                   state.hold_budget > 0))
+    new_budget = jnp.where(v, cfg.roi.landmark_hold_frames,
+                           jnp.where(reuse_ok, state.hold_budget - 1,
+                                     state.hold_budget))
+    face_valid = jnp.logical_or(v, reuse_ok)
+
+    roi = vroi.cheek_roi(new_last[None], cfg.roi, W, H)[0]
+    roi = jnp.where(face_valid, roi, 0)
+    means, _ = vreduce.roi_channel_means(frame[None], roi[None])
+    green = means[0, 1]
+
+    # Causal streaming SOS push (rppg_LIVESTREAM.py:245-251).
+    filt, zi = filters.sos_stream_push(sos, state.zi, green)
+
+    # Ring write; when the face is invalid the reference appends nothing —
+    # here the write is masked so the buffer only advances on valid frames.
+    ptr = jnp.mod(state.count, cfg.ring_len)
+    ring_raw = jnp.where(face_valid,
+                         state.ring_raw.at[ptr].set(green), state.ring_raw)
+    ring_filt = jnp.where(face_valid,
+                          state.ring_filt.at[ptr].set(filt), state.ring_filt)
+    count = state.count + face_valid.astype(jnp.int32)
+    zi = jnp.where(face_valid, zi, state.zi)
+
+    n_valid = jnp.minimum(count, cfg.ring_len)
+    ordered = jnp.roll(ring_filt, -jnp.mod(count, cfg.ring_len))
+    bpm, bpm_valid = _masked_welch_bpm(ordered, n_valid, cfg.fps, cfg.band,
+                                       cfg.welch_segment_seconds)
+
+    new_state = LiveState(ring_raw=ring_raw, ring_filt=ring_filt,
+                          count=count, zi=zi, last_box=new_last,
+                          hold_budget=new_budget, has_last=new_has)
+    out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
+                     green_filtered=filt, box=new_last,
+                     face_valid=face_valid)
+    return new_state, out
+
+
+def make_step(cfg: LiveConfig = LiveConfig(), donate: bool = True):
+    """The compiled per-frame step; state buffers donated to stay on device."""
+    f = functools.partial(step, cfg=cfg)
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
