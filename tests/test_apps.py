@@ -1,0 +1,81 @@
+"""App-level tests driven through their CLI entry points (headless)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vhr_tpu.io import video as vio
+from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+
+@pytest.fixture(scope="module")
+def clip_file(tmp_path_factory):
+    root = tmp_path_factory.mktemp("apps")
+    clip = synthesize(SynthSpec(duration_s=24.0, bpm=75.0, height=64,
+                                width=80, noise_std=0.5))
+    path = root / "clip.mp4"
+    vio.write_video(clip.frames, str(path), clip.fps)
+    return {"path": path, "root": root, "clip": clip}
+
+
+def test_rppg_video_app(clip_file):
+    from vhr_tpu.apps import rppg_video
+    out_dir = clip_file["root"] / "video_out"
+    rc = rppg_video.main([str(clip_file["path"]), "--out-dir", str(out_dir)])
+    assert rc == 0
+    assert (out_dir / "annotated.mp4").exists()
+    assert (out_dir / "signals.png").exists()
+    frames, fps = vio.read_video(str(out_dir / "annotated.mp4"))
+    assert frames.shape[0] == clip_file["clip"].frames.shape[0]
+
+
+def test_rppg_livestream_app_on_file(clip_file, capsys):
+    from vhr_tpu.apps import rppg_livestream
+    rc = rppg_livestream.main(["--video", str(clip_file["path"]),
+                               "--no-display"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Bpm after filtering" in out
+    bpms = [float(l.split(":")[1]) for l in out.splitlines()
+            if l.startswith("Bpm after filtering")]
+    # Late estimates only: the ring must first evict the causal filter's
+    # cold-start transient (the reference's deque behaves identically).
+    # Welch bins are 6.7 BPM apart at 9 s segments.
+    assert abs(np.median(bpms[-60:]) - 75.0) <= 8.0
+
+
+def test_bpp_app(clip_file, capsys):
+    from vhr_tpu.apps import bpp
+    rc = bpp.main([str(clip_file["path"]), "--json"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["width"] == 80 and stats["height"] == 64
+    assert stats["frames"] == clip_file["clip"].frames.shape[0]
+    assert 0.0 < stats["avg_entropy"] < 8.0
+    assert stats["avg_nsr"] > 0.0
+
+
+def test_psd_plot_from_cache(clip_file, tmp_path):
+    os.environ["VHR_CACHE_DIR"] = str(tmp_path / "cache")
+    from vhr_tpu.analysis.measurement import green_avg_psd
+    arr = green_avg_psd.measure(str(clip_file["path"]))
+    npz = tmp_path / "cache" / "psd_stages" / "clip.npz"
+    assert npz.exists()
+    from vhr_tpu.utils import psd_plot
+    out_png = tmp_path / "psd.png"
+    psd_plot.plot_stage_psds(str(npz), arr, acquisition_s=10.0,
+                             out_path=str(out_png))
+    assert out_png.exists()
+    # ROI-mean cache reused on second call.
+    roi_cache = tmp_path / "cache" / "roi_mean_data" / "clip.npz"
+    assert roi_cache.exists()
+    m1 = roi_cache.stat().st_mtime_ns
+    green_avg_psd.measure(str(clip_file["path"]))
+    assert roi_cache.stat().st_mtime_ns == m1

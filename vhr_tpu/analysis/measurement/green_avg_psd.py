@@ -65,7 +65,8 @@ def measure(video_path: str) -> np.ndarray:
 
     # Stage PSDs over steady-state windows (the reference's 4-variant
     # comparison), computed as one batched program and saved for replay.
-    W = cfg.window_len(fps)
+    # Clips shorter than the 30 s window capture one full-length window.
+    W = min(cfg.window_len(fps), T)
     if T >= W:
         wins = vwin.sliding_windows(g, W)
         raw = wins

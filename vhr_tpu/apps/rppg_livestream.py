@@ -1,0 +1,100 @@
+"""Live webcam heart-rate app — the ``rppg_LIVESTREAM.py`` equivalent.
+
+The reference's live loop couples an async MediaPipe callback, global deques
+and a module-level SOS state (``rppg_LIVESTREAM.py:256-366``).  Here the
+host loop is: grab frame -> one compiled device step
+(``vhr_tpu.pipeline.live.step``) -> draw.  All state lives on device in a
+donated pytree; the host never touches a filter coefficient.
+
+Usage::
+
+    python -m vhr_tpu.apps.rppg_livestream [--camera 0] [--video FILE]
+        [--max-frames N] [--no-display]
+
+``--video`` replays a file as if it were a camera (useful headless);
+``--no-display`` prints the BPM trace instead of opening windows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def run(source, cfg, max_frames=None, display=True) -> int:
+    import cv2
+    import jax.numpy as jnp
+
+    from ..pipeline import live
+
+    cam = cv2.VideoCapture(source)
+    if not cam.isOpened():
+        print(f"error: could not open source {source!r}")
+        return 1
+    fps = cam.get(cv2.CAP_PROP_FPS) or 15.0   # rppg_LIVESTREAM.py:291 fallback
+    cfg = live.LiveConfig(fps=float(fps), band=cfg.band,
+                          filter_order=cfg.filter_order,
+                          ring_len=cfg.ring_len, roi=cfg.roi)
+    state = live.init_state(cfg)
+    step = live.make_step(cfg, donate=False)
+
+    paused = False
+    n = 0
+    t_start = time.perf_counter()
+    while max_frames is None or n < max_frames:
+        if not paused:
+            ret, frame = cam.read()
+            if not ret:
+                print("End of stream reached.")
+                break
+            state, out = step(state, jnp.asarray(frame))
+            n += 1
+            if bool(out.bpm_valid):
+                print(f"Bpm after filtering: {float(out.bpm):.2f}")
+            if display:
+                x1, y1, x2, y2 = np.asarray(out.box)
+                if bool(out.face_valid):
+                    cv2.rectangle(frame, (x1, y1), (x2, y2), (0, 255, 0), 2)
+                if bool(out.bpm_valid):
+                    cv2.putText(frame, f"{float(out.bpm):.1f} BPM", (8, 24),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                                (255, 255, 255), 2)
+        if display:
+            cv2.imshow("vhr_tpu livestream", frame)
+            key = cv2.waitKey(1) & 0xFF
+            if key == ord("q"):
+                break
+            if key == ord(" "):
+                paused = not paused
+
+    dt = time.perf_counter() - t_start
+    if n:
+        print(f"processed {n} frames in {dt:.1f}s ({n / dt:.1f} fps)")
+    cam.release()
+    if display:
+        cv2.destroyAllWindows()
+    return 0
+
+
+def main(argv=None) -> int:
+    from ..pipeline import live
+
+    p = argparse.ArgumentParser(description="Live heart-rate (TPU)")
+    p.add_argument("--camera", type=int, default=0)
+    p.add_argument("--video", default=None,
+                   help="replay a video file instead of a camera")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--no-display", action="store_true")
+    args = p.parse_args(argv)
+
+    source = args.video if args.video is not None else args.camera
+    print("PRESS q to quit -- PRESS spacebar to pause")
+    return run(source, live.LiveConfig(), max_frames=args.max_frames,
+               display=not args.no_display)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,151 @@
+"""Offline video heart-rate app — the ``rppg_VIDEO.py`` equivalent.
+
+The reference interleaves decode, detection, filtering, Welch estimation and
+matplotlib/cv2 UI in one per-frame ``while True`` (``rppg_VIDEO.py:354-430``),
+recomputing the full 10 s filter+Welch stack every frame.  The TPU-first
+inversion: the whole video is processed as one batched program (all three
+filters — Butterworth-2, Cheby2-4, FIR-41 — over every window at once), then
+the results are rendered: an annotated output video (face box + cheek/
+forehead ROI + BPM overlay, mirroring the reference's drawing at
+``rppg_VIDEO.py:54,100``), a signal/BPM plot, and a console trace.
+
+Usage::
+
+    python -m vhr_tpu.apps.rppg_video VIDEO [--out-dir DIR] [--show]
+    python -m vhr_tpu.apps.rppg_video --videos-dir videos   # stdin picker
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..config import BAND_VIDEO, FilterConfig, PipelineConfig
+from ..io import video as vio
+from ..pipeline import offline
+
+
+def analyze(video_path: str):
+    """Run the app's three-filter analysis; returns a dict of traces."""
+    import jax.numpy as jnp
+
+    frames, fps = vio.read_video(video_path)
+    if frames.shape[0] == 0:
+        raise ValueError(f"empty video: {video_path}")
+    fj = jnp.asarray(frames)
+
+    results = {"fps": fps, "frames": frames}
+    trace = offline.extract_signals(fj)
+    results["green"] = np.asarray(trace.bgr[:, 1])
+    results["boxes"] = np.asarray(trace.boxes)
+    results["rois"] = np.asarray(trace.rois)
+    results["valid"] = np.asarray(trace.valid)
+
+    # The reference's three filters over the 10 s window, Welch estimate
+    # (rppg_VIDEO.py:402-409).
+    for kind, order in [("butterworth", 2), ("cheby2", 4), ("fir", 41)]:
+        cfg = PipelineConfig(
+            window_seconds=10.0, band=BAND_VIDEO,
+            filter=FilterConfig(kind=kind if kind != "fir" else "fir",
+                                order=order, fir_numtaps=41))
+        ts, bpm, valid = offline.measure_app_welch(fj, fps, cfg)
+        results[f"bpm_{kind}"] = bpm
+        results[f"valid_{kind}"] = valid
+        results["ts"] = ts
+    return results
+
+
+def render(results, out_dir: str, show: bool = False) -> None:
+    import cv2
+    os.makedirs(out_dir, exist_ok=True)
+    frames = results["frames"]
+    fps = results["fps"]
+
+    # Annotated video: face box (green), cheek ROI (blue), BPM text.
+    annotated = frames.copy()
+    for i in range(frames.shape[0]):
+        if results["valid"][i]:
+            x1, y1, x2, y2 = results["boxes"][i]
+            cv2.rectangle(annotated[i], (x1, y1), (x2, y2), (0, 255, 0), 2)
+            rx1, ry1, rx2, ry2 = results["rois"][i]
+            cv2.rectangle(annotated[i], (rx1, ry1), (rx2, ry2), (255, 0, 0), 2)
+        if results["valid_butterworth"][i]:
+            txt = (f"BPM butter {results['bpm_butterworth'][i]:.1f} "
+                   f"cheby2 {results['bpm_cheby2'][i]:.1f} "
+                   f"fir {results['bpm_fir'][i]:.1f}")
+            cv2.putText(annotated[i], txt, (8, 20),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1)
+    out_path = os.path.join(out_dir, "annotated.mp4")
+    vio.write_video(annotated, out_path, fps)
+
+    # Signal + BPM plot.
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
+    ts = results["ts"]
+    ax1.plot(ts, results["green"], color="green", lw=0.8)
+    ax1.set_ylabel("cheek green mean")
+    for kind in ["butterworth", "cheby2", "fir"]:
+        v = results[f"valid_{kind}"]
+        ax2.plot(ts[v], results[f"bpm_{kind}"][v], lw=1.2, label=kind)
+    ax2.set_xlabel("time (s)")
+    ax2.set_ylabel("BPM (Welch)")
+    ax2.legend()
+    ax2.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "signals.png"), dpi=150)
+    plt.close(fig)
+    print(f"wrote {out_path} and signals.png to {out_dir}")
+
+    if show:  # interactive replay (requires a display)
+        for i in range(annotated.shape[0]):
+            cv2.imshow("vhr_tpu rppg_video", annotated[i])
+            key = cv2.waitKey(max(1, int(1000 / fps))) & 0xFF
+            if key == ord("q"):
+                break
+            if key == ord(" "):
+                cv2.waitKey(0)
+        cv2.destroyAllWindows()
+
+
+def pick_video(videos_dir: str) -> str:
+    files = [f for f in sorted(os.listdir(videos_dir))
+             if not f.startswith(".")]
+    print("Select input video file:")
+    for i, f in enumerate(files):
+        print(f"[{i + 1}] {f}")
+    choice = int(input().strip()) - 1
+    if not 0 <= choice < len(files):
+        print("Invalid choice, exiting...")
+        raise SystemExit(1)
+    return os.path.join(videos_dir, files[choice])
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Offline video heart-rate (TPU)")
+    p.add_argument("video", nargs="?", help="video path (omit for picker)")
+    p.add_argument("--videos-dir", default="videos")
+    p.add_argument("--out-dir", default="rppg_out")
+    p.add_argument("--show", action="store_true",
+                   help="interactive replay window")
+    args = p.parse_args(argv)
+
+    path = args.video or pick_video(args.videos_dir)
+    results = analyze(path)
+    last = np.nonzero(results["valid_butterworth"])[0]
+    if len(last):
+        i = last[-1]
+        print(f"BPM Butterworth: {results['bpm_butterworth'][i]:.2f} | "
+              f"Cheby2: {results['bpm_cheby2'][i]:.2f} | "
+              f"FIR: {results['bpm_fir'][i]:.2f}")
+    render(results, args.out_dir, show=args.show)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
