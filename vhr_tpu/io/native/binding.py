@@ -1,0 +1,163 @@
+"""ctypes bindings + on-demand build for the C++ framestore.
+
+The shared library builds once per environment with g++ against the system
+OpenCV (no pybind11 in this image — plain C ABI + ctypes).  All consumers
+must go through :func:`is_available` and fall back to the pure-cv2 reader
+(``vhr_tpu.io.video``) when the toolchain or OpenCV dev libraries are absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "framestore.cpp"
+_LIB = _DIR / "libvhrframestore.so"
+
+_lock = threading.Lock()
+_lib = None
+_build_error: Optional[str] = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared library if needed; returns success."""
+    global _build_error
+    if _LIB.exists() and not force:
+        return True
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(_LIB),
+           "-I/usr/include/opencv4",
+           "-lopencv_core", "-lopencv_videoio", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        _build_error = getattr(e, "stderr", str(e))
+        return False
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not build():
+            raise RuntimeError(f"framestore build failed: {_build_error}")
+        lib = ctypes.CDLL(str(_LIB))
+        lib.vhr_open.restype = ctypes.c_int64
+        lib.vhr_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.vhr_meta.restype = ctypes.c_int
+        lib.vhr_meta.argtypes = [ctypes.c_int64,
+                                 ctypes.POINTER(ctypes.c_double)]
+        lib.vhr_next_chunk.restype = ctypes.c_int
+        lib.vhr_next_chunk.argtypes = [ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_uint8),
+                                       ctypes.c_int64]
+        lib.vhr_close.argtypes = [ctypes.c_int64]
+        lib.vhr_writer_open.restype = ctypes.c_int64
+        lib.vhr_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_double,
+                                        ctypes.c_char_p]
+        lib.vhr_writer_put.restype = ctypes.c_int
+        lib.vhr_writer_put.argtypes = [ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_uint8),
+                                       ctypes.c_int]
+        lib.vhr_writer_close.argtypes = [ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+class NativeVideoReader:
+    """Background-threaded chunked decode into padded contiguous buffers.
+
+    Chunks arrive as ``(n, H, W_pad, 3)`` uint8 with ``W_pad*3`` a multiple
+    of ``pad_row_to`` (Pallas DMA alignment); decode of chunk k+1 overlaps
+    the caller's device work on chunk k.
+    """
+
+    def __init__(self, path: str, chunk_frames: int = 256,
+                 pad_row_to: int = 128):
+        self._lib = _load()
+        self._h = self._lib.vhr_open(str(path).encode(), chunk_frames,
+                                     pad_row_to)
+        if self._h == 0:
+            raise IOError(f"native open failed: {path}")
+        meta = (ctypes.c_double * 5)()
+        self._lib.vhr_meta(self._h, meta)
+        self.width = int(meta[0])
+        self.height = int(meta[1])
+        self.fps = float(meta[2])
+        self.frame_count = int(meta[3])
+        self.padded_width = int(meta[4])
+        self.chunk_frames = chunk_frames
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        row = self.padded_width * 3
+        buf = np.empty((self.chunk_frames, self.height, row), np.uint8)
+        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        while True:
+            n = self._lib.vhr_next_chunk(self._h, ptr, buf.nbytes)
+            if n < 0:
+                raise IOError(f"native read error {n}")
+            if n == 0:
+                return
+            yield (buf[:n].reshape(n, self.height, self.padded_width, 3)
+                   .copy())
+
+    def close(self):
+        if self._h:
+            self._lib.vhr_close(self._h)
+            self._h = 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NativeVideoWriter:
+    def __init__(self, path: str, width: int, height: int, fps: float,
+                 fourcc: str = "mp4v"):
+        self._lib = _load()
+        self.width, self.height = width, height
+        self._h = self._lib.vhr_writer_open(str(path).encode(), width, height,
+                                            fps, fourcc.encode())
+        if self._h == 0:
+            raise IOError(f"native writer open failed: {path}")
+
+    def write(self, frames: np.ndarray):
+        frames = np.ascontiguousarray(frames, dtype=np.uint8)
+        if frames.ndim == 3:
+            frames = frames[None]
+        assert frames.shape[1:] == (self.height, self.width, 3)
+        ptr = frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        n = self._lib.vhr_writer_put(self._h, ptr, frames.shape[0])
+        if n != frames.shape[0]:
+            raise IOError("native write failed")
+
+    def close(self):
+        if self._h:
+            self._lib.vhr_writer_close(self._h)
+            self._h = 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
