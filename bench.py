@@ -1,15 +1,19 @@
 """Benchmark: offline 1080p rPPG throughput per chip (frames/sec).
 
-Measures the full flagship pipeline — skin detection, landmark holdover,
-cheek-ROI channel means, rolling FFT BPM — on 1080p uint8 frames resident in
-HBM, against the BASELINE target of >=500 frames/sec/chip sustained.
+Measures the full flagship pipeline — skin detection (8x pooled), landmark
+holdover, cheek-ROI channel means, rolling FFT BPM — on 1080p uint8 frames
+resident in HBM, against the BASELINE target of >=500 frames/sec/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measurement notes for this environment: the chip sits behind a remote relay
-with ~25 ms call RTT and result caching for identical calls, so each timed
-call processes a large frame batch and takes a *distinct* input (a fresh PRNG
-key folded into on-device frame synthesis behind an optimization barrier).
+with ~25 ms call RTT, deferred execution, and result caching for identical
+calls.  So (a) repetition happens *inside* one jitted call via ``lax.scan``
+over distinct per-rep offsets (one RTT per measurement, honest distinct
+compute per rep), (b) frame synthesis stays on device behind an
+``optimization_barrier`` (its cost is included — the number is conservative),
+and (c) all large buffers are jit *arguments* (closure constants make the
+compiler embed them as literals).
 """
 
 from __future__ import annotations
@@ -33,24 +37,28 @@ def main() -> None:
     from vhr_tpu.ops import windows as vwin
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    T, H, W = (512, 1080, 1920) if on_tpu else (32, 144, 176)
+    T, H, W = (128, 1080, 1920) if on_tpu else (32, 144, 176)
+    REPS = 16 if on_tpu else 2
     fps = 30.0
     cfg = PipelineConfig(window_seconds=4.0, acquisition_seconds=2.0)
+    det = skin_detector.SkinDetectorConfig(downsample=8 if on_tpu else 1)
 
-    # Face template: skin-tone ellipse, synthesized on device per call so
-    # every timed call is distinct (defeats relay-level result caching).
+    # Face template + fixed sensor noise (synthesized once, host side).
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     cx, cy, rx, ry = 0.5 * W, 0.45 * H, 0.16 * W, 0.26 * H
-    face_mask = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) <= 1.0
-    base = np.where(face_mask[..., None],
+    face = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) <= 1.0
+    base = np.where(face[..., None],
                     np.array([105, 135, 180], np.float32),
                     np.array([60, 60, 60], np.float32)).astype(np.uint8)
+    noise = np.random.default_rng(0).integers(0, 8, (T, H, W, 3), np.uint8)
     base_j = jnp.asarray(base)
+    noise_j = jnp.asarray(noise)
+    jax.block_until_ready((base_j, noise_j))
 
-    def pipeline(key):
-        noise = jax.random.randint(key, (T, H, W, 3), 0, 8, jnp.uint8)
-        frames = jax.lax.optimization_barrier(base_j[None] + noise)
-        boxes, valid = skin_detector.detect_faces(frames)
+    def one(noise, base, i):
+        frames = jax.lax.optimization_barrier(
+            base[None] + noise + i.astype(jnp.uint8))
+        boxes, valid = skin_detector.detect_faces(frames, det)
         track = vroi.holdover(boxes, valid, cfg.roi.landmark_hold_frames)
         rois = vroi.cheek_roi(track.box, cfg.roi, W, H)
         rois = jnp.where(track.valid[:, None], rois, 0)
@@ -58,19 +66,21 @@ def main() -> None:
         rolling = vwin.rolling_bpm_fft(
             means[:, cfg.channel], fps, cfg.band,
             cfg.window_len(fps), cfg.acquisition_len(fps))
-        return jnp.sum(rolling.bpm), jnp.sum(track.valid)
+        return jnp.sum(rolling.bpm)
 
-    fn = jax.jit(pipeline)
-    keys = [jax.random.PRNGKey(i) for i in range(12)]
-    jax.block_until_ready(fn(keys[0]))        # compile + warm
+    @jax.jit
+    def reps(noise, base, seed):
+        def body(c, i):
+            return c + one(noise, base, i + seed), None
+        out, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REPS, dtype=jnp.uint8))
+        return out
 
-    # Timed: distinct keys, sync per call (per-call work >> relay RTT).
-    n = 8
+    float(reps(noise_j, base_j, jnp.uint8(0)))   # compile + warm
     t0 = time.perf_counter()
-    for i in range(1, n + 1):
-        jax.block_until_ready(fn(keys[i]))
+    float(reps(noise_j, base_j, jnp.uint8(1)))   # distinct seed: no caching
     dt = time.perf_counter() - t0
-    fps_chip = T * n / dt
+    fps_chip = T * REPS / dt
 
     print(json.dumps({
         "metric": "offline_1080p_rppg_frames_per_sec_per_chip",

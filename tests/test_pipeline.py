@@ -133,3 +133,13 @@ def test_pipeline_survives_dropout():
                                                v.fps, cfg)
     # 10-frame dropout is inside the 15-frame holdover: no validity gap.
     assert valid[200:210].all()
+
+
+def test_skin_detector_downsampled_matches_full(clip):
+    from vhr_tpu.models.skin_detector import SkinDetectorConfig
+    boxes1, valid1 = detect_faces(jnp.asarray(clip.frames))
+    boxes4, valid4 = detect_faces(jnp.asarray(clip.frames),
+                                  SkinDetectorConfig(downsample=4, smooth=1))
+    assert bool(np.asarray(valid4).all())
+    # Pooled boxes within one pooling cell (+smoothing slack) of full-res.
+    assert np.max(np.abs(np.asarray(boxes4) - np.asarray(boxes1))) <= 16

@@ -37,6 +37,9 @@ class SkinDetectorConfig:
     smooth: int = 5            # box-filter half-width (pixels)
     threshold: float = 0.5
     min_area_fraction: float = 0.005  # of the frame, else invalid
+    # Detect on a k-x average-pooled frame: one uint8 read of the full
+    # frame, then all float work at 1/k^2 resolution.  Boxes scale back up.
+    downsample: int = 1
 
 
 def _bgr_to_ycbcr(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -89,7 +92,14 @@ def detect_faces(frames: jnp.ndarray,
       ``(boxes, valid)`` — ``(T, 4)`` int32 ``[x1, y1, x2, y2]`` (inclusive
       ends, like the landmark bbox) and ``(T,)`` bool.
     """
-    T, H, W, _ = frames.shape
+    T, H0, W0, _ = frames.shape
+    k = cfg.downsample
+    if k > 1:
+        Hc, Wc = (H0 // k) * k, (W0 // k) * k
+        pooled = frames[:, :Hc, :Wc].reshape(
+            T, Hc // k, k, Wc // k, k, 3).astype(jnp.float32).mean((2, 4))
+        frames = pooled  # float frames are fine for the chroma test
+    T, H, W = frames.shape[:3]
     mask = skin_mask(frames, cfg) >= cfg.threshold          # (T, H, W)
 
     col_any = jnp.any(mask, axis=1)                          # (T, W)
@@ -106,5 +116,12 @@ def detect_faces(frames: jnp.ndarray,
     area = jnp.sum(mask.reshape(T, -1), axis=1)
     valid = area >= cfg.min_area_fraction * (H * W)
     boxes = jnp.stack([x1, y1, x2, y2], axis=-1).astype(jnp.int32)
+    if k > 1:
+        # Scale pooled-grid coords back to pixels (outer pixel of each cell).
+        boxes = jnp.stack([boxes[..., 0] * k, boxes[..., 1] * k,
+                           boxes[..., 2] * k + (k - 1),
+                           boxes[..., 3] * k + (k - 1)], axis=-1)
+        boxes = jnp.minimum(boxes, jnp.asarray([W0 - 1, H0 - 1, W0 - 1,
+                                                H0 - 1], jnp.int32))
     boxes = jnp.where(valid[:, None], boxes, 0)
     return boxes, valid
