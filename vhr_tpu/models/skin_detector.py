@@ -37,9 +37,12 @@ class SkinDetectorConfig:
     smooth: int = 5            # box-filter half-width (pixels)
     threshold: float = 0.5
     min_area_fraction: float = 0.005  # of the frame, else invalid
-    # Detect on a k-x average-pooled frame: one uint8 read of the full
-    # frame, then all float work at 1/k^2 resolution.  Boxes scale back up.
+    # Detect on a k-x reduced frame; all float work at 1/k^2 resolution and
+    # boxes scale back up.  "sample" strides the pixel grid (reads 1/k^2 of
+    # the bytes, never materializes a full-res float tensor — required for
+    # many-stream batches); "mean" average-pools (one full uint8 read).
     downsample: int = 1
+    pool_mode: str = "sample"
 
 
 def _bgr_to_ycbcr(frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -96,9 +99,11 @@ def detect_faces(frames: jnp.ndarray,
     k = cfg.downsample
     if k > 1:
         Hc, Wc = (H0 // k) * k, (W0 // k) * k
-        pooled = frames[:, :Hc, :Wc].reshape(
-            T, Hc // k, k, Wc // k, k, 3).astype(jnp.float32).mean((2, 4))
-        frames = pooled  # float frames are fine for the chroma test
+        if cfg.pool_mode == "sample":
+            frames = frames[:, k // 2:Hc:k, k // 2:Wc:k]
+        else:
+            frames = frames[:, :Hc, :Wc].reshape(
+                T, Hc // k, k, Wc // k, k, 3).astype(jnp.float32).mean((2, 4))
     T, H, W = frames.shape[:3]
     mask = skin_mask(frames, cfg) >= cfg.threshold          # (T, H, W)
 
