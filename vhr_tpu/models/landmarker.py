@@ -103,3 +103,42 @@ def landmarks_to_bbox_valid(landmarks: jnp.ndarray, presence: jnp.ndarray,
     from ..ops.roi import bbox_from_landmarks
     boxes = bbox_from_landmarks(landmarks, width, height)
     return boxes, presence > threshold
+
+
+def make_detector(params, cfg: LandmarkerConfig = LandmarkerConfig(),
+                  threshold: float = 0.0):
+    """Wrap trained weights as a pipeline detector.
+
+    Returns a ``frames (T, H, W, 3) u8 -> (boxes, valid)`` function with the
+    same interface as ``skin_detector.detect_faces``, so the learned model
+    drops into ``pipeline.offline.extract_signals(detector=...)`` — the
+    MediaPipe-equivalent path of the reference (``rppg_VIDEO.py:351,380``).
+    """
+    model = FaceLandmarker(cfg)
+
+    def detector(frames: jnp.ndarray):
+        T, H, W, _ = frames.shape
+        x = preprocess_frames(frames, cfg.input_size)
+        lm, presence = model.apply({"params": params}, x)
+        return landmarks_to_bbox_valid(lm, presence, W, H, threshold)
+
+    return detector
+
+
+def load_default_detector(path: str = None, threshold: float = 0.0):
+    """Load the repo's trained synthetic-face checkpoint as a detector."""
+    import os
+    from . import checkpoint as ckpt
+    from .train import TrainConfig
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "checkpoints", "landmarker")
+    cfg = TrainConfig().model
+    import jax
+    model = FaceLandmarker(cfg)
+    like = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, cfg.input_size, cfg.input_size, 3))
+                      )["params"]
+    params = ckpt.load_params(path, like=like)
+    return make_detector(params, cfg, threshold)
