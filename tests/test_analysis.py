@@ -136,3 +136,11 @@ def test_user_plugin_file(workspace, tmp_path):
     mod = registry.get_measurement(str(plugin))
     arr = mod.measure("ignored")
     assert arr.shape == (5, 2) and arr[0, 1] == 65.0
+
+
+def test_evm_measurement_plugin(workspace):
+    arr = registry.get_measurement("evm").measure(str(workspace["video"]))
+    assert arr.ndim == 2 and arr.shape[1] == 2 and arr.shape[0] > 100
+    # Detection-free Eulerian pooling still recovers the pulse.
+    steady = arr[arr[:, 0] >= 10.0]
+    assert np.abs(np.median(steady[:, 1]) - 78.0) <= 6.0
