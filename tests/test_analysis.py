@@ -144,3 +144,19 @@ def test_evm_measurement_plugin(workspace):
     # Detection-free Eulerian pooling still recovers the pulse.
     steady = arr[arr[:, 0] >= 10.0]
     assert np.abs(np.median(steady[:, 1]) - 78.0) <= 6.0
+
+
+def test_streaming_measure_matches_whole_video(workspace):
+    """Chunked decode + carried holdover state == whole-video pass."""
+    import jax.numpy as jnp
+    from vhr_tpu.pipeline import offline
+    frames, fps = vio.read_video(str(workspace["video"]))
+    from vhr_tpu.config import PipelineConfig
+    cfg = PipelineConfig(window_seconds=10.0, acquisition_seconds=5.0)
+    ts_a, bpm_a, valid_a = offline.measure_green_avg(jnp.asarray(frames),
+                                                     fps, cfg)
+    ts_b, bpm_b, valid_b = offline.measure_green_avg_file(
+        str(workspace["video"]), cfg, chunk_frames=64)
+    np.testing.assert_array_equal(valid_a, valid_b)
+    np.testing.assert_allclose(bpm_a[valid_a], bpm_b[valid_b],
+                               rtol=1e-5, atol=1e-4)

@@ -98,7 +98,7 @@ def forehead_roi(bbox: jnp.ndarray, cfg: ROIConfig, width: int, height: int
 
 
 def holdover(box: jnp.ndarray, valid: jnp.ndarray,
-             hold_frames: int = 15) -> BoxTrack:
+             hold_frames: int = 15, carry=None) -> BoxTrack:
     """Detection-dropout tolerance as a scan over the time axis.
 
     Mirrors the reference's reuse rule (``analysis/utils/roi.py:91-101``):
@@ -112,11 +112,22 @@ def holdover(box: jnp.ndarray, valid: jnp.ndarray,
     Args:
       box: ``(T, 4)`` int32 raw per-frame detections.
       valid: ``(T,)`` bool detection success.
+      carry: optional scan carry from a previous chunk (chunked decode of
+        long recordings carries tracking state across chunk boundaries).
     Returns:
-      :class:`BoxTrack` with holdover applied.
+      :class:`BoxTrack` with holdover applied (use
+      :func:`holdover_with_carry` to also get the final scan state).
     """
-    def step(carry, inp):
-        last_box, budget, has_last = carry
+    track, _ = holdover_with_carry(box, valid, hold_frames, carry)
+    return track
+
+
+def holdover_with_carry(box: jnp.ndarray, valid: jnp.ndarray,
+                        hold_frames: int = 15, carry=None):
+    """:func:`holdover` variant returning the final scan carry, for chunked
+    processing of long recordings (state flows across chunk boundaries)."""
+    def step(c, inp):
+        last_box, budget, has_last = c
         b, v = inp
         new_last = jnp.where(v, b, last_box)
         new_has = jnp.logical_or(v, has_last)
@@ -127,6 +138,7 @@ def holdover(box: jnp.ndarray, valid: jnp.ndarray,
         out_valid = jnp.logical_or(v, reuse_ok)
         return (new_last, new_budget, new_has), (new_last, out_valid)
 
-    init = (jnp.zeros((4,), jnp.int32), jnp.int32(0), jnp.asarray(False))
-    _, (boxes, valids) = jax.lax.scan(step, init, (box, valid))
-    return BoxTrack(box=boxes, valid=valids)
+    if carry is None:
+        carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0), jnp.asarray(False))
+    final, (boxes, valids) = jax.lax.scan(step, carry, (box, valid))
+    return BoxTrack(box=boxes, valid=valids), final

@@ -227,6 +227,98 @@ def measure_app_welch(frames: jnp.ndarray, fps: float,
     return ts, np.asarray(bpm), np.asarray(valid)
 
 
+def extract_signals_streaming(video_path: str,
+                              cfg: PipelineConfig = PipelineConfig(),
+                              detector: Optional[DetectorFn] = None,
+                              chunk_frames: int = 256,
+                              prefer_native: bool = True):
+    """Chunked-decode signal extraction for long recordings.
+
+    The reference eagerly reads whole videos into RAM
+    (``analysis/utils/video_io.py:26-31`` — its long-context limiter).  Here
+    frames stream in fixed-size chunks (the threaded C++ framestore when
+    available, cv2 otherwise); the detector + ROI reduction run per chunk
+    with the landmark-holdover scan state carried across chunk boundaries,
+    so results are identical to a whole-video pass.
+
+    Returns ``(bgr (T, 3), valid (T,), fps)`` host arrays.
+    """
+    import jax
+
+    from ..io import video as vio
+    from ..models import skin_detector as sd
+    from ..ops import roi as vroi_mod
+
+    det = detector or sd.detect_faces
+
+    reader = None
+    if prefer_native:
+        try:
+            from ..io import native
+            if native.is_available():
+                reader = native.NativeVideoReader(video_path,
+                                                  chunk_frames=chunk_frames)
+        except Exception:
+            reader = None
+
+    @functools.partial(jax.jit, static_argnames=())
+    def chunk_step(frames, carry):
+        T, H, W, _ = frames.shape
+        boxes, valid = det(frames)
+        track, carry = vroi_mod.holdover_with_carry(
+            boxes, valid, cfg.roi.landmark_hold_frames, carry)
+        rois = vroi_mod.cheek_roi(track.box, cfg.roi, W, H)
+        rois = jnp.where(track.valid[:, None], rois, 0)
+        means, _ = vreduce.roi_channel_means(frames, rois)
+        return means, track.valid, carry
+
+    carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0), jnp.asarray(False))
+    bgr_parts, valid_parts = [], []
+    if reader is not None:
+        fps = reader.fps
+        with reader:
+            for chunk in reader:
+                m, v, carry = chunk_step(jnp.asarray(chunk), carry)
+                bgr_parts.append(np.asarray(m))
+                valid_parts.append(np.asarray(v))
+    else:
+        fps = None
+        for chunk, f, _ in vio.iter_video_chunks(video_path, chunk_frames):
+            fps = f
+            m, v, carry = chunk_step(jnp.asarray(chunk), carry)
+            bgr_parts.append(np.asarray(m))
+            valid_parts.append(np.asarray(v))
+    if not bgr_parts:
+        return np.zeros((0, 3), np.float32), np.zeros(0, bool), fps or 0.0
+    return (np.concatenate(bgr_parts), np.concatenate(valid_parts),
+            float(fps))
+
+
+def measure_green_avg_file(video_path: str,
+                           cfg: PipelineConfig = PipelineConfig(),
+                           detector: Optional[DetectorFn] = None,
+                           chunk_frames: int = 256
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Streaming-decode variant of :func:`measure_green_avg` (bounded RAM)."""
+    import jax.numpy as jnp_
+
+    from ..ops import windows as vwin_mod
+
+    bgr, valid, fps = extract_signals_streaming(video_path, cfg, detector,
+                                                chunk_frames)
+    T = bgr.shape[0]
+    ts = np.arange(T) / fps if T else np.zeros(0)
+    if T == 0:
+        return ts, np.zeros(0, np.float32), np.zeros(0, bool)
+    green = _fill_invalid(jnp_.asarray(bgr[:, cfg.channel]),
+                          jnp_.asarray(valid))
+    rolling = vwin_mod.rolling_bpm_fft(green, fps, cfg.band,
+                                       cfg.window_len(fps),
+                                       cfg.acquisition_len(fps))
+    ok = np.asarray(rolling.valid) & valid
+    return ts, np.asarray(rolling.bpm), ok
+
+
 def to_measurement_array(ts: np.ndarray, bpm: np.ndarray,
                          valid: np.ndarray) -> np.ndarray:
     """Collapse per-frame results to the reference's ``(N, 2)`` contract
