@@ -44,6 +44,13 @@ def analyze(video_path: str):
     results["boxes"] = np.asarray(trace.boxes)
     results["rois"] = np.asarray(trace.rois)
     results["valid"] = np.asarray(trace.valid)
+    # Forehead ROI for display parity with the reference's second ROI
+    # (rppg_VIDEO.py:102).
+    from ..config import ROIConfig
+    from ..ops import roi as vroi
+    H, W = frames.shape[1:3]
+    results["rois_forehead"] = np.asarray(
+        vroi.forehead_roi(trace.boxes, ROIConfig(), W, H))
 
     # The reference's three filters over the 10 s window, Welch estimate
     # (rppg_VIDEO.py:402-409).
@@ -73,6 +80,8 @@ def render(results, out_dir: str, show: bool = False) -> None:
             cv2.rectangle(annotated[i], (x1, y1), (x2, y2), (0, 255, 0), 2)
             rx1, ry1, rx2, ry2 = results["rois"][i]
             cv2.rectangle(annotated[i], (rx1, ry1), (rx2, ry2), (255, 0, 0), 2)
+            fx1, fy1, fx2, fy2 = results["rois_forehead"][i]
+            cv2.rectangle(annotated[i], (fx1, fy1), (fx2, fy2), (255, 0, 0), 2)
         if results["valid_butterworth"][i]:
             txt = (f"BPM butter {results['bpm_butterworth'][i]:.1f} "
                    f"cheby2 {results['bpm_cheby2'][i]:.1f} "
