@@ -143,3 +143,16 @@ def test_skin_detector_downsampled_matches_full(clip):
     assert bool(np.asarray(valid4).all())
     # Pooled boxes within one pooling cell (+smoothing slack) of full-res.
     assert np.max(np.abs(np.asarray(boxes4) - np.asarray(boxes1))) <= 16
+
+
+def test_degraded_144p_5fps_config():
+    """BASELINE config 1: the reference's dev-speed preset (144p @ 5 fps)."""
+    v = synthesize(SynthSpec(duration_s=40.0, bpm=66.0, fps=5.0,
+                             height=144, width=176, noise_std=1.0))
+    cfg = PipelineConfig()
+    ts, bpm, valid = offline.measure_green_avg(jnp.asarray(v.frames),
+                                               v.fps, cfg)
+    steady = slice(cfg.window_len(v.fps), None)
+    assert valid[steady].all()
+    # 30 s window at 5 fps -> 2 BPM bins.
+    assert float(np.abs(bpm[steady] - 66.0).mean()) <= 2.5
