@@ -79,3 +79,23 @@ def test_psd_plot_from_cache(clip_file, tmp_path):
     m1 = roi_cache.stat().st_mtime_ns
     green_avg_psd.measure(str(clip_file["path"]))
     assert roi_cache.stat().st_mtime_ns == m1
+
+
+def test_evm_magnify_app(clip_file, tmp_path):
+    from vhr_tpu.apps import evm_magnify
+    out = str(tmp_path / "magnified.mp4")
+    rc = evm_magnify.main([str(clip_file["path"]), out, "--alpha", "25",
+                           "--low-hz", "1.0", "--high-hz", "1.5",
+                           "--levels", "2"])
+    assert rc == 0
+    clip = clip_file["clip"]
+    mag, fps = vio.read_video(out)
+    assert mag.shape == clip.frames.shape
+
+    def pulse_amp(frames):
+        g = frames[:, 20:44, 28:52, 1].astype(float).mean((1, 2))
+        s = np.abs(np.fft.rfft(g - g.mean()))
+        f = np.fft.rfftfreq(len(g), 1 / clip.fps)
+        return s[np.argmin(np.abs(f - 1.25))]     # 75 BPM
+
+    assert pulse_amp(mag) > 4.0 * pulse_amp(clip.frames)

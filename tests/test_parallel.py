@@ -91,3 +91,26 @@ def test_landmarker_learns_synthetic_faces():
     cfg = vtrain.TrainConfig(batch_size=32)
     model, params, losses = vtrain.train(cfg, steps=30, seed=1)
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_sharded_steady_bpm_matches_unsharded(devices):
+    """Time-sharded rolling BPM == unsharded steady region, bit for bit."""
+    from vhr_tpu.config import BAND_ANALYSIS
+    from vhr_tpu.ops import windows as vwin
+    from vhr_tpu.parallel import long as vlong
+
+    m = vmesh.make_mesh(("time",), devices=devices)
+    fps, W = 20.0, 128
+    rng = np.random.default_rng(5)
+    t = np.arange(8 * 256) / fps
+    sig = np.sin(2 * np.pi * 1.1 * t) + 0.3 * rng.standard_normal(len(t))
+    x = jnp.asarray(sig, jnp.float64)
+
+    ref = vwin.rolling_bpm_fft(x, fps, BAND_ANALYSIS, W, W)  # steady only
+    xs = vmesh.shard(x, m, "time")
+    bpm, valid = vlong.sharded_steady_bpm(xs, fps, BAND_ANALYSIS, W, m)
+    bpm, valid = np.asarray(bpm), np.asarray(valid)
+    ref_bpm, ref_valid = np.asarray(ref.bpm), np.asarray(ref.valid)
+    assert not valid[:W - 1].any()
+    np.testing.assert_array_equal(valid[W - 1:], ref_valid[W - 1:])
+    np.testing.assert_allclose(bpm[valid], ref_bpm[valid], atol=1e-9)

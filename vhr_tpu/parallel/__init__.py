@@ -1,3 +1,3 @@
 """Multi-chip scaling: meshes, stream data-parallelism, time-axis sharding."""
 
-from . import mesh, streams, time_shard  # noqa: F401
+from . import long, mesh, streams, time_shard  # noqa: F401
