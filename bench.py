@@ -79,8 +79,11 @@ def main() -> None:
         return out
 
     float(reps(base_j, noise_j, offs_j, jnp.uint8(0)))   # compile + warm
+    # Clock-derived seed: distinct args every run (defeats any relay-level
+    # result caching across processes).
+    seed = jnp.uint8(1 + time.time_ns() % 200)
     t0 = time.perf_counter()
-    float(reps(base_j, noise_j, offs_j, jnp.uint8(1)))   # distinct seed
+    float(reps(base_j, noise_j, offs_j, seed))
     dt = time.perf_counter() - t0
     fps_chip = T * REPS / dt
 
