@@ -136,3 +136,13 @@ def test_estimate_bpm_welch_batched():
         _ref_estimate_bpm_welch(xs[0], FPS, BAND_VIDEO), abs=1e-9)
     assert float(ours.bpm[1]) == pytest.approx(
         _ref_estimate_bpm_welch(xs[1], FPS, BAND_VIDEO), abs=1e-9)
+
+
+def test_welch_median_average_matches_scipy():
+    x = _pulse(320, 72.0, noise=0.3)
+    nperseg = 90
+    f_ref, p_ref = sp.welch(x, fs=FPS, window="hann", nperseg=nperseg,
+                            noverlap=nperseg // 2, detrend="constant",
+                            scaling="density", average="median")
+    f, p = spectral.welch_psd(jnp.asarray(x), FPS, nperseg, average="median")
+    np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-8, atol=1e-12)

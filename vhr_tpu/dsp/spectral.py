@@ -150,13 +150,16 @@ def _hann(n: int) -> np.ndarray:
 
 
 def welch_psd(x: jnp.ndarray, fs: float, nperseg: int,
-              noverlap: Optional[int] = None
+              noverlap: Optional[int] = None,
+              average: str = "mean"
               ) -> Tuple[np.ndarray, jnp.ndarray]:
     """Welch power spectral density over axis -1 for ``(..., T)`` batches.
 
     Matches ``scipy.signal.welch(x, fs, window='hann', nperseg, noverlap,
-    detrend='constant', scaling='density', average='mean')`` as called at
-    ``rppg_VIDEO.py:190-193``.  Implemented as framed+windowed ``rfft`` —
+    detrend='constant', scaling='density', average=...)`` as called at
+    ``rppg_VIDEO.py:190-193``.  ``average='median'`` is the reference's
+    suggested noisy-signal alternative (comment at ``rppg_VIDEO.py:192``),
+    with scipy's bias correction.  Implemented as framed+windowed ``rfft`` —
     one fused XLA program, no per-segment Python loop.
 
     Returns ``(freqs, psd)`` with host-side ``freqs``.
@@ -194,7 +197,17 @@ def welch_psd(x: jnp.ndarray, fs: float, nperseg: int,
         doubling[1:] = 2.0
     psd = psd * jnp.asarray(doubling, dtype=x.dtype)
 
-    psd = jnp.mean(psd, axis=-2)  # average='mean' over segments
+    if average == "median":
+        # scipy's median average with its bias correction
+        # (_median_bias: 1 + sum over odd k < n of (-1)^(k+1)/k... for odd
+        # counts; even counts use the two middle values).
+        n_seg = psd.shape[-2]
+        med = jnp.median(psd, axis=-2)
+        ii = np.arange(1, (n_seg - 1) // 2 + 1)
+        bias = 1.0 + np.sum(1.0 / (2 * ii + 1) - 1.0 / (2 * ii))
+        psd = med / bias
+    else:
+        psd = jnp.mean(psd, axis=-2)  # average='mean' over segments
     freqs = np.fft.rfftfreq(nperseg, d=1.0 / fs)
     return freqs, psd
 

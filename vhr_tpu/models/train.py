@@ -127,6 +127,13 @@ def synth_batch(cfg: TrainConfig, rng: np.random.Generator
     for b in range(B):
         bg = rng.uniform(0.1, 0.5, size=3).astype(np.float32)
         img = np.broadcast_to(bg, (s, s, 3)).copy()
+        # Distractors: small non-face blobs (some skin-toned) so the model
+        # can't shortcut on color alone.
+        for _ in range(rng.integers(0, 3)):
+            dcx, dcy = rng.uniform(0.0, 1.0, 2) * s
+            dr = rng.uniform(0.02, 0.08) * s
+            dmask = ((xx - dcx) ** 2 + (yy - dcy) ** 2) <= dr ** 2
+            img[dmask] = rng.uniform(0.2, 0.9, 3).astype(np.float32)
         if rng.random() > 0.1:
             cx, cy = rng.uniform(0.3, 0.7, 2) * s
             rx = rng.uniform(0.12, 0.3) * s
@@ -135,6 +142,9 @@ def synth_batch(cfg: TrainConfig, rng: np.random.Generator
             skin = np.array([0.72, 0.55, 0.42], np.float32) \
                 + rng.uniform(-0.08, 0.08, 3).astype(np.float32)  # RGB
             img[mask] = skin
+            # Illumination gradient across the face (shading realism).
+            grad = 1.0 + rng.uniform(-0.15, 0.15) * (xx - cx) / max(rx, 1.0)
+            img[mask] *= np.clip(grad[mask, None], 0.6, 1.4)
             lms[b, :, 0] = (cx + rx * np.cos(theta)) / s
             lms[b, :, 1] = (cy + ry * np.sin(theta)) / s
             has[b] = True
