@@ -10,7 +10,6 @@ it is deterministic per (video, sigma).
 from __future__ import annotations
 
 import functools
-from pathlib import Path
 from typing import Generator, Tuple
 
 import numpy as np

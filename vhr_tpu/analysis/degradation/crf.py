@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Generator, Tuple
 
-import numpy as np
 
 from . import common
 from ...io import video as vio

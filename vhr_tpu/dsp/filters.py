@@ -15,7 +15,6 @@ the jitted computation as small constants.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -16,7 +16,6 @@ Everything here is pure, statically-shaped, and batched: the reference's
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -16,7 +16,6 @@ same per-frame results come from two fixed-shape batched programs:
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -11,7 +11,6 @@ steady region.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -11,15 +11,14 @@ video per Python process (``analysis/main.py`` loops serially).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..config import PipelineConfig
-from ..dsp import spectral
 from ..models import skin_detector
 from ..ops import reduce as vreduce
 from ..ops import roi as vroi

@@ -13,7 +13,6 @@ impulse response (SURVEY.md §5 long-context plan).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -13,7 +13,6 @@ so the analysis harness and metrics are drop-in compatible.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
