@@ -1,0 +1,279 @@
+"""Pallas kernel #3: single-pass skin detection + ROI reduction.
+
+The flagship pipeline reads every frame at least twice from HBM (detector
+pass + ROI-mean pass).  This kernel fuses them into ONE streaming read per
+frame: each row chunk contributes simultaneously to
+
+* the skin-occupancy accumulators (column-occupancy vector + per-row-group
+  flags) that produce this frame's face box, and
+* the cheek-ROI channel sums, masked by the box tracked from *previous*
+  frames (carried in SMEM scratch across the sequential grid — exactly the
+  temporal tolerance the reference's landmark holdover already grants,
+  ``analysis/utils/roi.py:91-95``: the ROI may lag detection by a frame).
+
+Outputs per frame: BGR ROI means + pixel count, the detected box, detection
+validity.  The grid is (T,) and MUST iterate t in order (the default) — the
+SMEM box carry is the tracking state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ROIConfig
+from ..models.skin_detector import SkinDetectorConfig
+
+__all__ = ["fused_detect_roi_pallas", "FusedResult"]
+
+
+class FusedResult(NamedTuple):
+    means: jnp.ndarray    # (T, 3) float32 cheek-ROI channel means
+    count: jnp.ndarray    # (T,) float32 ROI pixel count
+    boxes: jnp.ndarray    # (T, 4) int32 detected face boxes (this frame)
+    det_valid: jnp.ndarray  # (T,) bool skin-area validity (this frame)
+    roi_valid: jnp.ndarray  # (T,) bool tracked-box validity used for the ROI
+
+
+def _kernel(in_hbm, means_ref, box_ref, flags_ref, scratch, colacc, sems,
+            state, *, rb: int, h: int, w: int, wc: int, n_chunks: int,
+            det: SkinDetectorConfig, roi: ROIConfig, min_area: float,
+            detect_every: int):
+    t = pl.program_id(0)
+    do_detect = jax.lax.rem(t, jnp.int32(detect_every)) == 0
+
+    def get_dma(slot, tt, ii):
+        # Clamp so the last chunk never reads past the frame; both i*rb and
+        # h - rb are multiples of 8 (wrapper contract).
+        start = pl.multiple_of(jnp.minimum(ii * rb, h - rb), 8)
+        return pltpu.make_async_copy(
+            in_hbm.at[tt, pl.ds(start, rb), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    step = t * n_chunks
+    # state (SMEM int32): [0:4] last_box, [4] budget, [5] has_last
+    @pl.when(t == 0)
+    def _():
+        get_dma(0, 0, 0).start()
+        for j in range(4):
+            state[j] = 0
+        state[4] = 0
+        state[5] = 0
+        colacc[0, :] = jnp.zeros_like(colacc[0, :])  # scratch is uninit
+
+    # Tracked box from previous frames decides this frame's ROI (cheek
+    # sub-rectangle of the carried face box).
+    bx1, by1, bx2, by2 = state[0], state[1], state[2], state[3]
+    has_prev = state[5] > 0
+    bw = (bx2 - bx1).astype(jnp.float32)
+    bh = (by2 - by1).astype(jnp.float32)
+    rx1 = bx1 + jnp.floor(roi.cheek_horizontal * bw).astype(jnp.int32)
+    rx2 = bx2 - jnp.ceil(roi.cheek_horizontal * bw).astype(jnp.int32)
+    ry1 = by1 + jnp.floor(roi.cheek_top * bh).astype(jnp.int32)
+    ry2 = by1 + jnp.floor(roi.cheek_bottom * bh).astype(jnp.int32)
+
+    # Lane-indexed constants (chunk-invariant).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, wc), 1)
+    col = lane // 3
+    ch = lane - col * 3
+    col_in_roi = jnp.logical_and(col >= rx1, col < rx2)
+
+    def body(i, acc):
+        # Slots index by the GLOBAL chunk counter so cross-frame prefetch
+        # lands in the slot the next frame's first wait expects.
+        g = t * n_chunks + i
+        slot = jax.lax.rem(g, jnp.int32(2))
+        nslot = jax.lax.rem(g + 1, jnp.int32(2))
+        nxt = i + 1
+
+        @pl.when(nxt < n_chunks)
+        def _():
+            get_dma(nslot, t, nxt).start()
+
+        @pl.when(jnp.logical_and(nxt >= n_chunks,
+                                 t + 1 < pl.num_programs(0)))
+        def _():
+            get_dma(nslot, t + 1, 0).start()
+
+        get_dma(slot, t, i).wait()
+        vals = scratch[slot].astype(jnp.int32).astype(jnp.float32)
+
+        row0 = i * rb                      # unclamped chunk origin
+        start = jnp.minimum(row0, h - rb)  # clamped DMA origin
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rb, wc), 0) + start
+        # Rows below row0 were already processed by the previous chunk
+        # (clamped overlap near the frame bottom).
+        in_frame = rows >= row0
+
+        # --- skin mask (YCbCr box test) on this chunk -------------------
+        # Runs only on detection frames (t % detect_every == 0): the box is
+        # tracked between detections — the VPU mask math is the kernel's
+        # dominant cost at full resolution.
+        def detect_branch(vals, in_frame):
+            # Channels are interleaved: shift lanes to align b/g/r.
+            b_ = vals * jnp.where(ch == 0, 1.0, 0.0)
+            g_ = vals * jnp.where(ch == 1, 1.0, 0.0)
+            r_ = vals * jnp.where(ch == 2, 1.0, 0.0)
+            g0 = pltpu.roll(g_, wc - 1, 1)   # left-shift by 1 (shift >= 0)
+            r0 = pltpu.roll(r_, wc - 2, 1)   # left-shift by 2
+            bb, gg, rr = b_, g0, r0          # valid at lanes where ch == 0
+            y = 0.299 * rr + 0.587 * gg + 0.114 * bb
+            cb = 128.0 - 0.168736 * rr - 0.331264 * gg + 0.5 * bb
+            cr = 128.0 + 0.5 * rr - 0.418688 * gg - 0.081312 * bb
+            skin = ((cb >= det.cb_min) & (cb <= det.cb_max) &
+                    (cr >= det.cr_min) & (cr <= det.cr_max) &
+                    (y >= det.y_min) & (ch == 0) & in_frame)
+            skin_f = skin.astype(jnp.float32)
+            colinc = jnp.sum(skin_f, axis=0)
+            rowsum = jnp.sum(skin_f, axis=1)                # (rb,)
+            # >=2-pixel row threshold stands in for mask smoothing.
+            ridx = (jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)[:, 0]
+                    + start)
+            has_row = rowsum >= 2.0
+            rmin = jnp.min(jnp.where(has_row, ridx, h))
+            rmax = jnp.max(jnp.where(has_row, ridx, -1))
+            return colinc, jnp.sum(skin_f), rmin, rmax
+
+        def skip_branch(vals, in_frame):
+            return (jnp.zeros((wc,), jnp.float32), jnp.float32(0.0),
+                    jnp.int32(h), jnp.int32(-1))
+
+        colinc, a_inc, rmin, rmax = jax.lax.cond(
+            do_detect, detect_branch, skip_branch, vals, in_frame)
+        colacc[0, :] = colacc[0, :] + colinc
+        area, cur_rmin, cur_rmax, a0, a1, a2 = acc
+        area = area + a_inc
+        cur_rmin = jnp.minimum(cur_rmin, rmin)
+        cur_rmax = jnp.maximum(cur_rmax, rmax)
+
+        # --- ROI channel sums under the carried box ---------------------
+        # Chunks with no ROI rows skip the masked reduction entirely.
+        def roi_branch(vals, rows, in_frame):
+            row_in_roi = jnp.logical_and(rows >= ry1, rows < ry2)
+            sel = jnp.logical_and(jnp.logical_and(row_in_roi, col_in_roi),
+                                  in_frame)
+            selv = jnp.where(sel, vals, 0.0)
+            s0 = jnp.sum(jnp.where(ch == 0, selv, 0.0))
+            s1 = jnp.sum(jnp.where(ch == 1, selv, 0.0))
+            s2 = jnp.sum(jnp.where(ch == 2, selv, 0.0))
+            return s0, s1, s2
+
+        def roi_skip(vals, rows, in_frame):
+            z = jnp.float32(0.0)
+            return z, z, z
+
+        intersects = jnp.logical_and(start < ry2, start + rb > ry1)
+        s0, s1, s2 = jax.lax.cond(intersects, roi_branch, roi_skip,
+                                  vals, rows, in_frame)
+        return (area, cur_rmin, cur_rmax, a0 + s0, a1 + s1, a2 + s2)
+
+    init = (jnp.float32(0.0), jnp.int32(h), jnp.int32(-1),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+    area, rmin, rmax, s0, s1, s2 = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    # Column occupancy -> x extent; then reset the accumulator for the next
+    # frame (SMEM/VMEM scratch persists across grid steps).
+    colv = colacc[0, :]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, wc), 1)[0]
+    col1 = lane1 // 3
+    occ = colv >= 2.0   # smoothing stand-in, see row threshold above
+    xmin = jnp.min(jnp.where(occ, col1, w))
+    xmax = jnp.max(jnp.where(occ, col1, -1))
+    colacc[0, :] = jnp.zeros((wc,), jnp.float32)
+
+    det_ok = jnp.logical_and(area >= min_area, do_detect)
+    # Holdover update (analysis/utils/roi.py:91-101 rule); between-detection
+    # frames just keep tracking the carried box.
+    tracked = jnp.logical_and(~do_detect, has_prev)
+    reuse_ok = jnp.logical_and(jnp.logical_and(do_detect, ~det_ok),
+                               jnp.logical_and(has_prev, state[4] > 0))
+    new_valid = jnp.logical_or(det_ok, jnp.logical_or(reuse_ok, tracked))
+
+    nx1 = jnp.where(det_ok, xmin, bx1)
+    ny1 = jnp.where(det_ok, rmin, by1)
+    nx2 = jnp.where(det_ok, xmax, bx2)
+    ny2 = jnp.where(det_ok, rmax, by2)
+    state[0] = nx1
+    state[1] = ny1
+    state[2] = nx2
+    state[3] = ny2
+    state[4] = jnp.where(det_ok, jnp.int32(roi.landmark_hold_frames),
+                         jnp.where(reuse_ok, state[4] - 1, state[4]))
+    state[5] = jnp.where(jnp.logical_or(det_ok, has_prev), 1, 0)
+
+    # Outputs for this frame: ROI means from the carried (pre-update) box.
+    count = (jnp.maximum(ry2 - ry1, 0) * jnp.maximum(rx2 - rx1, 0)
+             ).astype(jnp.float32)
+    roi_ok = jnp.logical_and(has_prev, count > 0)
+    denom = jnp.maximum(count, 1.0)
+    means_ref[t, 0] = s0 / denom
+    means_ref[t, 1] = s1 / denom
+    means_ref[t, 2] = s2 / denom
+    means_ref[t, 3] = jnp.where(roi_ok, count, 0.0)
+    box_ref[t, 0] = nx1
+    box_ref[t, 1] = ny1
+    box_ref[t, 2] = nx2
+    box_ref[t, 3] = ny2
+    flags_ref[t, 0] = jnp.logical_or(det_ok, tracked).astype(jnp.int32)
+    flags_ref[t, 1] = roi_ok.astype(jnp.int32)
+
+
+def fused_detect_roi_pallas(frames: jnp.ndarray,
+                            det: SkinDetectorConfig = SkinDetectorConfig(),
+                            roi: ROIConfig = ROIConfig(),
+                            row_block: int = 128,
+                            detect_every: int = 1,
+                            interpret: bool = False) -> FusedResult:
+    """One HBM pass per frame: skin box detection + cheek-ROI means.
+
+    The ROI uses the face box tracked from *previous* frames (one-frame lag,
+    inside the reference's own holdover tolerance); frame 0 therefore has
+    ``roi_valid=False``.  ``detect_every=N`` runs the skin test on one frame
+    in N and tracks the box in between (the mask math dominates the kernel's
+    VPU cost at full resolution).  Requires ``H % 8 == 0`` and
+    ``W*3 % 128 == 0``.
+    """
+    T, H, W, C = frames.shape
+    assert C == 3
+    wc = W * C
+    if H % 8 != 0 or wc % 128 != 0:
+        raise ValueError("fused kernel needs H % 8 == 0 and W*3 % 128 == 0")
+    rb = max(8, min(row_block, H) // 8 * 8)
+    n_chunks = -(-H // rb)
+    min_area = det.min_area_fraction * H * W
+
+    kernel = functools.partial(_kernel, rb=rb, h=H, w=W, wc=wc,
+                               n_chunks=n_chunks, det=det, roi=roi,
+                               min_area=min_area, detect_every=detect_every)
+
+    flat = frames.reshape(T, H, wc)
+    means, boxes, flags = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((T, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((T, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((T, 2), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, rb, wc), jnp.uint8),
+            pltpu.VMEM((8, wc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((6,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat)
+
+    return FusedResult(means=means[:, :3], count=means[:, 3],
+                       boxes=boxes, det_valid=flags[:, 0] > 0,
+                       roi_valid=flags[:, 1] > 0)
