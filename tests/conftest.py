@@ -22,3 +22,34 @@ jax.config.update("jax_platforms", "cpu")
 # Golden tests compare against float64 scipy/sklearn; enable x64 so tests can
 # opt into float64 (production code follows input dtype, float32/bf16 on TPU).
 jax.config.update("jax_enable_x64", True)
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow split: the default gate is `pytest tests/ -m "not slow"` (<~4 min
+# on this 1-core host); `pytest tests/` runs everything (~10 min).  Slow =
+# measured >=14 s here (app E2E, training loops, big-clip sweeps).  The list
+# lives centrally so test files stay clean.
+import pytest
+
+_SLOW_TESTS = {
+    "test_measure_green_avg_recovers_bpm",
+    "test_landmarker_learns_synthetic_faces",
+    "test_skin_detector_finds_face",
+    "test_colour_noise_degradation_sweep",
+    "test_multistream_sharded_matches_single",
+    "test_sosfiltfilt_parallel_path",
+    "test_measure_green_avg_contract",
+    "test_params_roundtrip",
+    "test_rolling_bpm_welch_estimator",
+    "test_train_step_sharded",
+    "test_halo_sosfiltfilt_matches_global",
+    "test_measure_app_welch_recovers_bpm",
+    "test_trained_checkpoint_localizes_faces",
+    "test_detector_adapter_interface",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

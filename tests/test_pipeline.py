@@ -156,3 +156,51 @@ def test_degraded_144p_5fps_config():
     assert valid[steady].all()
     # 30 s window at 5 fps -> 2 BPM bins.
     assert float(np.abs(bpm[steady] - 66.0).mean()) <= 2.5
+
+
+def test_rolling_bpm_welch_estimator(clip):
+    """PipelineConfig.estimator='welch' drives the Welch rolling estimator."""
+    cfg = PipelineConfig(window_seconds=10.0, acquisition_seconds=5.0,
+                         estimator="welch")
+    ts, bpm, valid = offline.measure_green_avg(jnp.asarray(clip.frames),
+                                               clip.fps, cfg)
+    W = cfg.window_len(clip.fps)
+    assert not valid[:W - 1].any()          # Welch needs the full window
+    assert valid[W:].all()
+    assert float(np.abs(bpm[W:] - 72.0).mean()) <= 4.0
+
+
+def test_extract_signals_fused_wrapper():
+    """use_pallas=True routes through the fused kernel (interpret on CPU) and
+    feeds the same downstream BPM stage."""
+    v = synthesize(SynthSpec(duration_s=40.0, bpm=72.0, noise_std=1.0,
+                             height=96, width=128))
+    frames = jnp.asarray(v.frames)
+    trace = offline.extract_signals(frames, use_pallas=True)
+    assert trace.bgr.shape == (frames.shape[0], 3)
+    assert bool(np.asarray(trace.valid)[1:].all())   # one-frame tracking lag
+    cfg = PipelineConfig(window_seconds=10.0, acquisition_seconds=5.0)
+    ts, bpm, valid = offline.measure_green_avg(frames, v.fps, cfg,
+                                               use_pallas=True)
+    steady = slice(cfg.window_len(v.fps), None)
+    assert valid[steady].all()
+    assert float(np.abs(bpm[steady] - 72.0).mean()) <= 4.0
+    with pytest.raises(ValueError):
+        offline.extract_signals(frames, detector=detect_faces,
+                                use_pallas=True)
+
+
+def test_learned_detector_params_are_traced(clip):
+    """make_detector returns a jax.tree_util.Partial whose weights enter the
+    jitted pipeline as traced args, not baked literal constants (ADVICE r1)."""
+    import jax
+    from vhr_tpu.models import landmarker as lmk
+    from vhr_tpu.models.train import TrainConfig, init_state
+
+    cfg = TrainConfig()
+    _, params, _, _ = init_state(cfg, jax.random.PRNGKey(0))
+    det = lmk.make_detector(params, cfg.model)
+    assert isinstance(det, jax.tree_util.Partial)
+    trace = offline.extract_signals(jnp.asarray(clip.frames[:8]),
+                                    detector=det)
+    assert trace.bgr.shape == (8, 3)

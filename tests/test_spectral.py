@@ -146,3 +146,20 @@ def test_welch_median_average_matches_scipy():
                             scaling="density", average="median")
     f, p = spectral.welch_psd(jnp.asarray(x), FPS, nperseg, average="median")
     np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-8, atol=1e-12)
+
+
+def test_nyquist_bin_excluded_like_fftfreq():
+    """ADVICE r1: at fs <= 2*high_hz the +Nyquist rfft bin is in-band, but
+    the reference masks fftfreq where Nyquist is stored as -fs/2 (excluded).
+    Build a 5 fps signal whose strongest in-rfft-band peak IS Nyquist."""
+    fs, T = 5.0, 64
+    t = np.arange(T) / fs
+    x = (1.0 * np.cos(2 * np.pi * 2.5 * t)      # Nyquist: 150 BPM
+         + 0.5 * np.sin(2 * np.pi * 1.5 * t))   # in-band:  90 BPM
+    ref = _ref_estimate_bpm(x, fs, BAND_ANALYSIS)
+    ours = spectral.estimate_bpm(jnp.asarray(x), fs, BAND_ANALYSIS)
+    ours_mc = spectral.estimate_bpm_multichannel(jnp.asarray(x)[:, None],
+                                                 fs, BAND_ANALYSIS)
+    assert ref == pytest.approx(90.0, abs=2.0)   # nearest grid bin, not 150
+    assert float(ours.bpm) == pytest.approx(ref, abs=1e-9)
+    assert float(ours_mc.bpm) == pytest.approx(ref, abs=1e-9)

@@ -43,9 +43,17 @@ class BPMEstimate(NamedTuple):
 
 
 def _band_freqs(n: int, fs: float, band: HRBand) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side positive FFT frequencies and in-band mask (static shapes)."""
+    """Host-side positive FFT frequencies and in-band mask (static shapes).
+
+    The reference masks ``np.fft.fftfreq`` frequencies, where the Nyquist bin
+    of an even-length FFT is stored as ``-fs/2`` and therefore never passes a
+    positive band mask (``estimate_bpm.py:38-44``).  ``rfftfreq`` returns it
+    as ``+fs/2``, so drop the last bin for even ``n`` to match — this bites
+    whenever ``fs <= 2*high_hz`` (e.g. the 5 fps temporal-resolution preset).
+    """
     freqs = np.fft.rfftfreq(n, d=1.0 / fs)
     mask = (freqs >= band.low_hz) & (freqs <= band.high_hz)
+    mask &= np.arange(freqs.shape[0]) <= (n - 1) // 2
     return freqs, mask
 
 

@@ -60,6 +60,9 @@ def _load():
         lib.vhr_next_chunk.argtypes = [ctypes.c_int64,
                                        ctypes.POINTER(ctypes.c_uint8),
                                        ctypes.c_int64]
+        lib.vhr_stats.restype = ctypes.c_int
+        lib.vhr_stats.argtypes = [ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_double)]
         lib.vhr_close.argtypes = [ctypes.c_int64]
         lib.vhr_writer_open.restype = ctypes.c_int64
         lib.vhr_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
@@ -118,6 +121,19 @@ class NativeVideoReader:
                 return
             yield (buf[:n].reshape(n, self.height, self.padded_width, 3)
                    .copy())
+
+    def stats(self) -> dict:
+        """Staging-ring occupancy counters: who stalled on whom.
+
+        ``consumer_blocked`` counts next-chunk calls that had to wait for the
+        decode thread (decode-bound); ``producer_blocked`` counts decoder
+        stalls on a full ring (compute-bound — the healthy state)."""
+        out = (ctypes.c_double * 4)()
+        if not self._h or not self._lib.vhr_stats(self._h, out):
+            return {}
+        return {"produced": int(out[0]), "consumed": int(out[1]),
+                "producer_blocked": int(out[2]),
+                "consumer_blocked": int(out[3])}
 
     def close(self):
         if self._h:

@@ -52,6 +52,11 @@ struct Reader {
   std::deque<std::unique_ptr<Chunk>> ready;
   size_t max_ready = 3;  // bounded staging ring
   bool eof = false, stop = false;
+  // Occupancy statistics (under mu): how often each side of the pipeline
+  // stalled on the other — consumer_blocked > 0 means decode is the
+  // bottleneck; producer_blocked > 0 means device compute is.
+  long produced = 0, consumed = 0;
+  long producer_blocked = 0, consumer_blocked = 0;
 
   ~Reader() {
     {
@@ -87,9 +92,13 @@ struct Reader {
       bool at_eof = n < chunk_frames;
       {
         std::unique_lock<std::mutex> lk(mu);
+        if (ready.size() >= max_ready && !stop) ++producer_blocked;
         cv_full.wait(lk, [&] { return ready.size() < max_ready || stop; });
         if (stop) return;
-        if (n > 0) ready.push_back(std::move(chunk));
+        if (n > 0) {
+          ready.push_back(std::move(chunk));
+          ++produced;
+        }
         if (at_eof) {
           eof = true;
           cv_empty.notify_all();
@@ -107,16 +116,27 @@ struct Writer {
 };
 
 std::mutex g_mu;
-std::unordered_map<int64_t, std::unique_ptr<Reader>> g_readers;
-std::unordered_map<int64_t, std::unique_ptr<Writer>> g_writers;
+// shared_ptr handles: calls copy the pointer out under g_mu, so a concurrent
+// vhr_close/vhr_writer_close only removes the map entry and destruction
+// defers until the in-flight call drops its reference (no use-after-free).
+std::unordered_map<int64_t, std::shared_ptr<Reader>> g_readers;
+std::unordered_map<int64_t, std::shared_ptr<Writer>> g_writers;
 std::atomic<int64_t> g_next{1};
+
+template <typename T>
+std::shared_ptr<T> lookup(std::unordered_map<int64_t, std::shared_ptr<T>>& m,
+                          int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  auto it = m.find(handle);
+  return it == m.end() ? nullptr : it->second;
+}
 
 }  // namespace
 
 extern "C" {
 
 int64_t vhr_open(const char* path, int chunk_frames, int pad_row_to) {
-  auto r = std::make_unique<Reader>();
+  auto r = std::make_shared<Reader>();
   if (!r->cap.open(path)) return 0;
   r->width = static_cast<int>(r->cap.get(cv::CAP_PROP_FRAME_WIDTH));
   r->height = static_cast<int>(r->cap.get(cv::CAP_PROP_FRAME_HEIGHT));
@@ -142,10 +162,8 @@ int64_t vhr_open(const char* path, int chunk_frames, int pad_row_to) {
 }
 
 int vhr_meta(int64_t handle, double* out5) {
-  std::lock_guard<std::mutex> lk(g_mu);
-  auto it = g_readers.find(handle);
-  if (it == g_readers.end()) return 0;
-  Reader* r = it->second.get();
+  auto r = lookup(g_readers, handle);
+  if (!r) return 0;
   out5[0] = r->width;
   out5[1] = r->height;
   out5[2] = r->fps;
@@ -156,26 +174,35 @@ int vhr_meta(int64_t handle, double* out5) {
 
 // Blocks until a chunk is ready (or EOF).  Returns frames copied.
 int vhr_next_chunk(int64_t handle, uint8_t* buf, int64_t buf_bytes) {
-  Reader* r = nullptr;
-  {
-    std::lock_guard<std::mutex> lk(g_mu);
-    auto it = g_readers.find(handle);
-    if (it == g_readers.end()) return -1;
-    r = it->second.get();
-  }
+  auto r = lookup(g_readers, handle);
+  if (!r) return -1;
   std::unique_ptr<Chunk> chunk;
   {
     std::unique_lock<std::mutex> lk(r->mu);
+    if (r->ready.empty() && !r->eof && !r->stop) ++r->consumer_blocked;
     r->cv_empty.wait(lk, [&] { return !r->ready.empty() || r->eof || r->stop; });
     if (r->ready.empty()) return 0;  // EOF
     chunk = std::move(r->ready.front());
     r->ready.pop_front();
+    ++r->consumed;
   }
   r->cv_full.notify_all();
   int64_t need = static_cast<int64_t>(chunk->n) * r->height * r->pad_row_bytes;
   if (need > buf_bytes) return -2;
   std::memcpy(buf, chunk->data.data(), need);
   return chunk->n;
+}
+
+// Staging-ring stats: produced, consumed, producer_blocked, consumer_blocked.
+int vhr_stats(int64_t handle, double* out4) {
+  auto r = lookup(g_readers, handle);
+  if (!r) return 0;
+  std::lock_guard<std::mutex> lk(r->mu);
+  out4[0] = static_cast<double>(r->produced);
+  out4[1] = static_cast<double>(r->consumed);
+  out4[2] = static_cast<double>(r->producer_blocked);
+  out4[3] = static_cast<double>(r->consumer_blocked);
+  return 1;
 }
 
 void vhr_close(int64_t handle) {
@@ -185,7 +212,7 @@ void vhr_close(int64_t handle) {
 
 int64_t vhr_writer_open(const char* path, int width, int height, double fps,
                         const char* fourcc) {
-  auto w = std::make_unique<Writer>();
+  auto w = std::make_shared<Writer>();
   int fcc = cv::VideoWriter::fourcc(fourcc[0], fourcc[1], fourcc[2], fourcc[3]);
   if (!w->out.open(path, fcc, fps, cv::Size(width, height))) return 0;
   w->width = width;
@@ -197,13 +224,8 @@ int64_t vhr_writer_open(const char* path, int width, int height, double fps,
 }
 
 int vhr_writer_put(int64_t handle, const uint8_t* buf, int n) {
-  Writer* w = nullptr;
-  {
-    std::lock_guard<std::mutex> lk(g_mu);
-    auto it = g_writers.find(handle);
-    if (it == g_writers.end()) return -1;
-    w = it->second.get();
-  }
+  auto w = lookup(g_writers, handle);
+  if (!w) return -1;
   size_t frame_bytes = static_cast<size_t>(w->width) * w->height * 3;
   for (int i = 0; i < n; ++i) {
     cv::Mat m(w->height, w->width, CV_8UC3,

@@ -109,20 +109,25 @@ def make_detector(params, cfg: LandmarkerConfig = LandmarkerConfig(),
                   threshold: float = 0.0):
     """Wrap trained weights as a pipeline detector.
 
-    Returns a ``frames (T, H, W, 3) u8 -> (boxes, valid)`` function with the
+    Returns a ``frames (T, H, W, 3) u8 -> (boxes, valid)`` callable with the
     same interface as ``skin_detector.detect_faces``, so the learned model
     drops into ``pipeline.offline.extract_signals(detector=...)`` — the
     MediaPipe-equivalent path of the reference (``rppg_VIDEO.py:351,380``).
+
+    The weights ride along as a ``jax.tree_util.Partial`` argument (a traced
+    pytree), NOT a Python closure: a closed-over param tree would be baked
+    into every jitted caller as XLA literal constants (slow compiles behind
+    the TPU relay; re-embedded per program).
     """
     model = FaceLandmarker(cfg)
 
-    def detector(frames: jnp.ndarray):
+    def _detect(p, frames: jnp.ndarray):
         T, H, W, _ = frames.shape
         x = preprocess_frames(frames, cfg.input_size)
-        lm, presence = model.apply({"params": params}, x)
+        lm, presence = model.apply({"params": p}, x)
         return landmarks_to_bbox_valid(lm, presence, W, H, threshold)
 
-    return detector
+    return jax.tree_util.Partial(_detect, params)
 
 
 def load_default_detector(path: str = None, threshold: float = 0.0):

@@ -159,7 +159,10 @@ def train(cfg: TrainConfig, steps: int, seed: int = 0, mesh: Mesh = None):
     """Train the landmarker on synthetic faces; returns (model, params, losses)."""
     rng = np.random.default_rng(seed)
     model, params, tx, opt_state = init_state(cfg, jax.random.PRNGKey(seed))
-    step = make_train_step(model, tx, cfg, mesh=None)  # single-program path
+    step = make_train_step(model, tx, cfg, mesh=mesh, params_example=params)
+    if mesh is not None:
+        params = jax.tree.map(jax.device_put, params,
+                              param_shardings(params, mesh))
     losses = []
     for _ in range(steps):
         batch = jax.tree.map(jnp.asarray, synth_batch(cfg, rng))

@@ -19,7 +19,7 @@ SMEM box carry is the tracking state.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ROIConfig
 from ..models.skin_detector import SkinDetectorConfig
 
-__all__ = ["fused_detect_roi_pallas", "FusedResult"]
+__all__ = ["fused_detect_roi_pallas", "fused_detect_roi_carry",
+           "init_carry", "FusedResult"]
 
 
 class FusedResult(NamedTuple):
@@ -41,32 +42,35 @@ class FusedResult(NamedTuple):
     roi_valid: jnp.ndarray  # (T,) bool tracked-box validity used for the ROI
 
 
-def _kernel(in_hbm, means_ref, box_ref, flags_ref, scratch, colacc, sems,
+def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
+            state_out, scratch, colacc, sems,
             state, *, rb: int, h: int, w: int, wc: int, n_chunks: int,
             det: SkinDetectorConfig, roi: ROIConfig, min_area: float,
             detect_every: int):
     t = pl.program_id(0)
-    do_detect = jax.lax.rem(t, jnp.int32(detect_every)) == 0
+    t0 = t0_ref[0]     # launch's offset into the (possibly longer) clip —
+    # long clips run as several launches over ONE HBM array (no per-chunk
+    # device copies); only ``t_launch`` frames process per launch.
+    do_detect = jax.lax.rem(t0 + t, jnp.int32(detect_every)) == 0
 
     def get_dma(slot, tt, ii):
         # Clamp so the last chunk never reads past the frame; both i*rb and
         # h - rb are multiples of 8 (wrapper contract).
         start = pl.multiple_of(jnp.minimum(ii * rb, h - rb), 8)
         return pltpu.make_async_copy(
-            in_hbm.at[tt, pl.ds(start, rb), :],
+            in_hbm.at[t0 + tt, pl.ds(start, rb), :],
             scratch.at[slot],
             sems.at[slot],
         )
 
     step = t * n_chunks
-    # state (SMEM int32): [0:4] last_box, [4] budget, [5] has_last
+    # state (SMEM int32): [0:4] last_box, [4] budget, [5] has_last —
+    # seeded from state_in so long clips chunk over T with carried tracking.
     @pl.when(t == 0)
     def _():
         get_dma(0, 0, 0).start()
-        for j in range(4):
-            state[j] = 0
-        state[4] = 0
-        state[5] = 0
+        for j in range(6):
+            state[j] = state_in[j]
         colacc[0, :] = jnp.zeros_like(colacc[0, :])  # scratch is uninit
 
     # Tracked box from previous frames decides this frame's ROI (cheek
@@ -224,25 +228,36 @@ def _kernel(in_hbm, means_ref, box_ref, flags_ref, scratch, colacc, sems,
     box_ref[t, 3] = ny2
     flags_ref[t, 0] = jnp.logical_or(det_ok, tracked).astype(jnp.int32)
     flags_ref[t, 1] = roi_ok.astype(jnp.int32)
+    for j in range(6):           # final value = carry for the next chunk
+        state_out[j] = state[j]
 
 
-def fused_detect_roi_pallas(frames: jnp.ndarray,
-                            det: SkinDetectorConfig = SkinDetectorConfig(),
-                            roi: ROIConfig = ROIConfig(),
-                            row_block: int = 128,
-                            detect_every: int = 1,
-                            interpret: bool = False) -> FusedResult:
-    """One HBM pass per frame: skin box detection + cheek-ROI means.
+def fused_detect_roi_carry(frames: jnp.ndarray,
+                           carry: jnp.ndarray,
+                           det: SkinDetectorConfig = SkinDetectorConfig(),
+                           roi: ROIConfig = ROIConfig(),
+                           row_block: int = 128,
+                           detect_every: int = 1,
+                           interpret: bool = False,
+                           t_start: int = 0,
+                           t_len: Optional[int] = None
+                           ) -> Tuple[FusedResult, jnp.ndarray]:
+    """One kernel launch over frames ``[t_start, t_start + t_len)`` with
+    explicit tracking carry.
 
-    The ROI uses the face box tracked from *previous* frames (one-frame lag,
-    inside the reference's own holdover tolerance); frame 0 therefore has
-    ``roi_valid=False``.  ``detect_every=N`` runs the skin test on one frame
-    in N and tracks the box in between (the mask math dominates the kernel's
-    VPU cost at full resolution).  Requires ``H % 8 == 0`` and
-    ``W*3 % 128 == 0``.
+    ``carry`` is the ``(6,) int32`` SMEM tracking state
+    ``[x1, y1, x2, y2, hold_budget, has_last]`` (:func:`init_carry` for a
+    fresh one); the final state returns so long clips run as several
+    launches over ONE resident HBM array — the offset rides in as an SMEM
+    scalar, so there are no per-chunk device copies, and the per-frame SMEM
+    output arrays (which Mosaic sizes by the launch's ``t_len``) stay under
+    the ~1 MB SMEM budget (measured cliff between T=512 and T=960 at 1080p).
     """
     T, H, W, C = frames.shape
     assert C == 3
+    if t_len is None:
+        t_len = T - t_start
+    assert 0 <= t_start and t_start + t_len <= T
     wc = W * C
     if H % 8 != 0 or wc % 128 != 0:
         raise ValueError("fused kernel needs H % 8 == 0 and W*3 % 128 == 0")
@@ -255,16 +270,21 @@ def fused_detect_roi_pallas(frames: jnp.ndarray,
                                min_area=min_area, detect_every=detect_every)
 
     flat = frames.reshape(T, H, wc)
-    means, boxes, flags = pl.pallas_call(
+    t0 = jnp.asarray([t_start], jnp.int32)
+    means, boxes, flags, carry_out = pl.pallas_call(
         kernel,
-        grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        grid=(t_len,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
-        out_shape=(jax.ShapeDtypeStruct((T, 4), jnp.float32),
-                   jax.ShapeDtypeStruct((T, 4), jnp.int32),
-                   jax.ShapeDtypeStruct((T, 2), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((t_len, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((t_len, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((t_len, 2), jnp.int32),
+                   jax.ShapeDtypeStruct((6,), jnp.int32)),
         scratch_shapes=[
             pltpu.VMEM((2, rb, wc), jnp.uint8),
             pltpu.VMEM((8, wc), jnp.float32),
@@ -272,8 +292,52 @@ def fused_detect_roi_pallas(frames: jnp.ndarray,
             pltpu.SMEM((6,), jnp.int32),
         ],
         interpret=interpret,
-    )(flat)
+    )(flat, t0, carry.astype(jnp.int32))
 
-    return FusedResult(means=means[:, :3], count=means[:, 3],
-                       boxes=boxes, det_valid=flags[:, 0] > 0,
-                       roi_valid=flags[:, 1] > 0)
+    res = FusedResult(means=means[:, :3], count=means[:, 3],
+                      boxes=boxes, det_valid=flags[:, 0] > 0,
+                      roi_valid=flags[:, 1] > 0)
+    return res, carry_out
+
+
+def init_carry() -> jnp.ndarray:
+    """Fresh tracking state for :func:`fused_detect_roi_carry`."""
+    return jnp.zeros((6,), jnp.int32)
+
+
+def fused_detect_roi_pallas(frames: jnp.ndarray,
+                            det: SkinDetectorConfig = SkinDetectorConfig(),
+                            roi: ROIConfig = ROIConfig(),
+                            row_block: int = 128,
+                            detect_every: int = 1,
+                            interpret: bool = False,
+                            t_block: int = 256) -> FusedResult:
+    """One HBM pass per frame: skin box detection + cheek-ROI means.
+
+    The ROI uses the face box tracked from *previous* frames (one-frame lag,
+    inside the reference's own holdover tolerance); frame 0 therefore has
+    ``roi_valid=False``.  ``detect_every=N`` runs the skin test on one frame
+    in N and tracks the box in between (the mask math dominates the kernel's
+    VPU cost at full resolution).  Requires ``H % 8 == 0`` and
+    ``W*3 % 128 == 0``.
+
+    Long clips launch in ``t_block``-frame chunks with the tracking state
+    carried between launches (Mosaic allocates the per-frame SMEM outputs
+    for the whole launch, so a single huge-``T`` launch exhausts the ~1 MB
+    SMEM — measured cliff between T=512 and T=960 at 1080p).
+    """
+    T = frames.shape[0]
+    run = functools.partial(fused_detect_roi_carry, det=det, roi=roi,
+                            row_block=row_block, detect_every=detect_every,
+                            interpret=interpret)
+    if T <= t_block:
+        res, _ = run(frames, init_carry())
+        return res
+    parts = []
+    carry = init_carry()
+    for s in range(0, T, t_block):
+        res, carry = run(frames, carry, t_start=s,
+                         t_len=min(t_block, T - s))
+        parts.append(res)
+    return FusedResult(*(jnp.concatenate([getattr(p, f) for p in parts])
+                         for f in FusedResult._fields))

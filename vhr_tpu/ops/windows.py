@@ -25,7 +25,8 @@ import numpy as np
 from ..config import HRBand
 from ..dsp import spectral
 
-__all__ = ["sliding_windows", "RollingBPM", "rolling_bpm_fft"]
+__all__ = ["sliding_windows", "RollingBPM", "rolling_bpm_fft",
+           "rolling_bpm_welch", "rolling_bpm"]
 
 
 def sliding_windows(x: jnp.ndarray, length: int) -> jnp.ndarray:
@@ -115,3 +116,39 @@ def rolling_bpm_fft(signal: jnp.ndarray, fps: float, band: HRBand,
         valid = valid.at[window_len - 1:].set(ok)
 
     return RollingBPM(bpm=bpm, valid=valid)
+
+
+def rolling_bpm_welch(signal: jnp.ndarray, fps: float, band: HRBand,
+                      window_len: int,
+                      segment_seconds: float = 9.0) -> RollingBPM:
+    """Per-frame Welch-PSD BPM over full-length sliding windows.
+
+    The Welch companion of :func:`rolling_bpm_fft` (the reference's apps run
+    Welch over their deque, ``rppg_VIDEO.py:407-409``).  Welch's segment
+    framing needs the full window, so frames before ``window_len - 1`` are
+    invalid (no variable-``nperseg`` ramp; fixed shapes keep one compile).
+    """
+    T = signal.shape[0]
+    x = (signal if jnp.issubdtype(signal.dtype, jnp.floating)
+         else signal.astype(jnp.float32))
+    bpm = jnp.zeros((T,), x.dtype)
+    valid = jnp.zeros((T,), bool)
+    if T >= window_len:
+        wins = sliding_windows(x, window_len)
+        est = spectral.estimate_bpm_welch(wins, fps, band, segment_seconds)
+        bpm = bpm.at[window_len - 1:].set(est.bpm)
+        valid = valid.at[window_len - 1:].set(est.valid)
+    return RollingBPM(bpm=bpm, valid=valid)
+
+
+def rolling_bpm(signal: jnp.ndarray, fps: float, band: HRBand,
+                window_len: int, acquisition_len: int,
+                estimator: str = "fft",
+                segment_seconds: float = 9.0) -> RollingBPM:
+    """Dispatch on ``PipelineConfig.estimator``: ``"fft"`` | ``"welch"``."""
+    if estimator == "fft":
+        return rolling_bpm_fft(signal, fps, band, window_len, acquisition_len)
+    if estimator == "welch":
+        return rolling_bpm_welch(signal, fps, band, window_len,
+                                 segment_seconds)
+    raise ValueError(f"unknown estimator {estimator!r} (fft | welch)")

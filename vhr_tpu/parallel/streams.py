@@ -33,11 +33,12 @@ class MultiStreamResult(NamedTuple):
     green: jnp.ndarray    # (streams, T)
 
 
-def _single_stream(frames, fps: float, cfg: PipelineConfig):
+def _single_stream(frames, fps: float, cfg: PipelineConfig,
+                   det: skin_detector.SkinDetectorConfig):
     """Per-shard pipeline body: (S_local, T, H, W, 3) -> per-frame BPM."""
     def one(fr):
         T, H, W, _ = fr.shape
-        boxes, valid = skin_detector.detect_faces(fr)
+        boxes, valid = skin_detector.detect_faces(fr, det)
         track = vroi.holdover(boxes, valid, cfg.roi.landmark_hold_frames)
         rois = vroi.cheek_roi(track.box, cfg.roi, W, H)
         rois = jnp.where(track.valid[:, None], rois, 0)
@@ -53,16 +54,19 @@ def _single_stream(frames, fps: float, cfg: PipelineConfig):
 
 def multistream_green_bpm(frames: jnp.ndarray, fps: float,
                           mesh: Mesh,
-                          cfg: PipelineConfig = PipelineConfig()
+                          cfg: PipelineConfig = PipelineConfig(),
+                          det: skin_detector.SkinDetectorConfig = None
                           ) -> MultiStreamResult:
     """Run the green-channel pipeline for ``(streams, T, H, W, 3)`` frames
     sharded over the mesh's ``stream`` axis.
 
     Each chip independently processes ``streams / n_chips`` subjects — the
     embarrassingly-parallel layout; ``shard_map`` keeps XLA from gathering
-    the video tensor anywhere.
+    the video tensor anywhere.  ``det`` tunes detection (e.g.
+    ``downsample=4`` strided sampling for many-stream 720p monitoring).
     """
-    fn = functools.partial(_single_stream, fps=fps, cfg=cfg)
+    det = det or skin_detector.SkinDetectorConfig()
+    fn = functools.partial(_single_stream, fps=fps, cfg=cfg, det=det)
     spec = P("stream")
     mapped = shard_map(
         fn, mesh=mesh,

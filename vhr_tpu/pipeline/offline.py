@@ -30,6 +30,7 @@ from ..ops import windows as vwin
 __all__ = [
     "SignalTrace",
     "extract_signals",
+    "extract_signals_fused",
     "measure_green_avg",
     "measure_ica",
     "measure_app_welch",
@@ -49,20 +50,26 @@ class SignalTrace(NamedTuple):
     boxes: jnp.ndarray     # (T, 4) int32 face boxes after holdover
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "detector", "use_pallas"))
-def extract_signals(frames: jnp.ndarray,
-                    cfg: PipelineConfig = PipelineConfig(),
-                    detector: Optional[DetectorFn] = None,
-                    use_pallas: bool = False) -> SignalTrace:
-    """Frames -> per-frame cheek-ROI channel means (the L2+L3 layers).
+def _split_detector(detector: Optional[DetectorFn]):
+    """Split a detector into (static fn, traced arg pytree).
 
-    Mirrors ``analysis/utils/roi.py:get_roi`` + the per-frame channel mean
-    (``green_avg.py:34``, ``ica.py:48``), including the <=15-frame landmark
-    holdover, as one batched program.
+    A ``jax.tree_util.Partial`` (e.g. from ``landmarker.make_detector``)
+    carries its weights as pytree leaves, so they enter jitted programs as
+    *traced arguments* — a plain closure would bake the param tree into the
+    compiled program as XLA literal constants (ADVICE r1: ~600 KB literals,
+    slow compiles behind the TPU relay).
     """
-    T, H, W, _ = frames.shape
     det = detector or skin_detector.detect_faces
-    raw_boxes, raw_valid = det(frames)
+    if isinstance(det, jax.tree_util.Partial):
+        return det.func, tuple(det.args)
+    return det, ()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "det_fn", "use_pallas"))
+def _extract_signals_jit(frames, det_args, cfg, det_fn, use_pallas):
+    T, H, W, _ = frames.shape
+    raw_boxes, raw_valid = det_fn(*det_args, frames)
     track = vroi.holdover(raw_boxes, raw_valid, cfg.roi.landmark_hold_frames)
     rois = vroi.cheek_roi(track.box, cfg.roi, W, H)
     rois = jnp.where(track.valid[:, None], rois, 0)
@@ -73,6 +80,69 @@ def extract_signals(frames: jnp.ndarray,
         means, _ = vreduce.roi_channel_means(frames, rois)
     return SignalTrace(bgr=means, valid=track.valid, rois=rois,
                        boxes=track.box)
+
+
+def extract_signals(frames: jnp.ndarray,
+                    cfg: PipelineConfig = PipelineConfig(),
+                    detector: Optional[DetectorFn] = None,
+                    use_pallas=False,
+                    detect_every: int = 1) -> SignalTrace:
+    """Frames -> per-frame cheek-ROI channel means (the L2+L3 layers).
+
+    Mirrors ``analysis/utils/roi.py:get_roi`` + the per-frame channel mean
+    (``green_avg.py:34``, ``ica.py:48``), including the <=15-frame landmark
+    holdover, as one batched program.
+
+    ``use_pallas`` selects the compute path:
+
+    * ``False`` — plain XLA (detector pass + masked ROI reduction);
+    * ``"roi"`` — XLA detection + the Pallas row-DMA ROI-mean kernel;
+    * ``True`` / ``"fused"`` — the single-HBM-pass Pallas kernel
+      (``ops.pallas_fused``): skin detection and ROI reduction in one
+      streaming read per frame, box tracked in SMEM across frames.  Requires
+      ``H % 8 == 0`` and ``W*3 % 128 == 0`` and the default skin detector
+      (``detector`` must be None); ``detect_every`` subsamples the skin test
+      temporally (boxes track in between).
+    """
+    if use_pallas in (True, "fused"):
+        if detector is not None:
+            raise ValueError("the fused Pallas path is the skin detector; "
+                             "pass detector=None (or use_pallas='roi')")
+        return extract_signals_fused(frames, cfg, detect_every=detect_every)
+    det_fn, det_args = _split_detector(detector)
+    return _extract_signals_jit(frames, det_args, cfg=cfg, det_fn=det_fn,
+                                use_pallas=(use_pallas == "roi"))
+
+
+def extract_signals_fused(frames: jnp.ndarray,
+                          cfg: PipelineConfig = PipelineConfig(),
+                          det: Optional[skin_detector.SkinDetectorConfig] = None,
+                          detect_every: int = 1,
+                          interpret: Optional[bool] = None) -> SignalTrace:
+    """:func:`extract_signals` on the fused detect+reduce Pallas kernel.
+
+    One HBM read per frame (vs two for detect-then-reduce); each frame's ROI
+    uses the box tracked from *previous* frames — a one-frame lag inside the
+    reference's own holdover tolerance (``analysis/utils/roi.py:91-95``).
+    ``interpret`` defaults to True off-TPU so the same code tests on CPU.
+    """
+    from ..ops.pallas_fused import fused_detect_roi_pallas
+
+    T, H, W, _ = frames.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    det = det or skin_detector.SkinDetectorConfig()
+    res = fused_detect_roi_pallas(frames, det=det, roi=cfg.roi,
+                                  detect_every=detect_every,
+                                  interpret=interpret)
+    # The ROI that produced means[t] is the cheek rect of the box tracked
+    # *before* frame t's update — i.e. boxes[t-1] (zeros at t=0).
+    prev = jnp.concatenate([jnp.zeros((1, 4), res.boxes.dtype),
+                            res.boxes[:-1]], axis=0)
+    rois = vroi.cheek_roi(prev, cfg.roi, W, H)
+    rois = jnp.where(res.roi_valid[:, None], rois, 0)
+    return SignalTrace(bgr=res.means, valid=res.roi_valid, rois=rois,
+                       boxes=res.boxes)
 
 
 def _fill_invalid(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -96,10 +166,12 @@ def measure_green_avg(frames: jnp.ndarray, fps: float,
     """
     trace = extract_signals(frames, cfg, detector, use_pallas)
     green = _fill_invalid(trace.bgr[:, cfg.channel], trace.valid)
-    rolling = vwin.rolling_bpm_fft(
+    rolling = vwin.rolling_bpm(
         green, fps, cfg.band,
         window_len=cfg.window_len(fps),
-        acquisition_len=cfg.acquisition_len(fps))
+        acquisition_len=cfg.acquisition_len(fps),
+        estimator=cfg.estimator,
+        segment_seconds=cfg.welch.segment_seconds)
     T = frames.shape[0]
     ts = np.arange(T) / fps
     valid = jnp.logical_and(rolling.valid, trace.valid)
@@ -230,7 +302,8 @@ def extract_signals_streaming(video_path: str,
                               cfg: PipelineConfig = PipelineConfig(),
                               detector: Optional[DetectorFn] = None,
                               chunk_frames: int = 256,
-                              prefer_native: bool = True):
+                              prefer_native: bool = True,
+                              ring_stats: Optional[dict] = None):
     """Chunked-decode signal extraction for long recordings.
 
     The reference eagerly reads whole videos into RAM
@@ -240,7 +313,10 @@ def extract_signals_streaming(video_path: str,
     with the landmark-holdover scan state carried across chunk boundaries,
     so results are identical to a whole-video pass.
 
-    Returns ``(bgr (T, 3), valid (T,), fps)`` host arrays.
+    Returns ``(bgr (T, 3), valid (T,), fps)`` host arrays.  If
+    ``ring_stats`` is a dict it is filled with the native staging-ring
+    occupancy counters (who stalled on whom — see
+    ``io.native.NativeVideoReader.stats``).
     """
     import jax
 
@@ -248,7 +324,7 @@ def extract_signals_streaming(video_path: str,
     from ..models import skin_detector as sd
     from ..ops import roi as vroi_mod
 
-    det = detector or sd.detect_faces
+    det_fn, det_args = _split_detector(detector)
 
     reader = None
     if prefer_native:
@@ -260,10 +336,10 @@ def extract_signals_streaming(video_path: str,
         except Exception:
             reader = None
 
-    @functools.partial(jax.jit, static_argnames=())
-    def chunk_step(frames, carry):
+    @jax.jit
+    def chunk_step(frames, det_args, carry):
         T, H, W, _ = frames.shape
-        boxes, valid = det(frames)
+        boxes, valid = det_fn(*det_args, frames)
         track, carry = vroi_mod.holdover_with_carry(
             boxes, valid, cfg.roi.landmark_hold_frames, carry)
         rois = vroi_mod.cheek_roi(track.box, cfg.roi, W, H)
@@ -277,14 +353,16 @@ def extract_signals_streaming(video_path: str,
         fps = reader.fps
         with reader:
             for chunk in reader:
-                m, v, carry = chunk_step(jnp.asarray(chunk), carry)
+                m, v, carry = chunk_step(jnp.asarray(chunk), det_args, carry)
                 bgr_parts.append(np.asarray(m))
                 valid_parts.append(np.asarray(v))
+            if ring_stats is not None:
+                ring_stats.update(reader.stats())
     else:
         fps = None
         for chunk, f, _ in vio.iter_video_chunks(video_path, chunk_frames):
             fps = f
-            m, v, carry = chunk_step(jnp.asarray(chunk), carry)
+            m, v, carry = chunk_step(jnp.asarray(chunk), det_args, carry)
             bgr_parts.append(np.asarray(m))
             valid_parts.append(np.asarray(v))
     if not bgr_parts:
@@ -311,9 +389,11 @@ def measure_green_avg_file(video_path: str,
         return ts, np.zeros(0, np.float32), np.zeros(0, bool)
     green = _fill_invalid(jnp_.asarray(bgr[:, cfg.channel]),
                           jnp_.asarray(valid))
-    rolling = vwin_mod.rolling_bpm_fft(green, fps, cfg.band,
-                                       cfg.window_len(fps),
-                                       cfg.acquisition_len(fps))
+    rolling = vwin_mod.rolling_bpm(green, fps, cfg.band,
+                                   cfg.window_len(fps),
+                                   cfg.acquisition_len(fps),
+                                   estimator=cfg.estimator,
+                                   segment_seconds=cfg.welch.segment_seconds)
     ok = np.asarray(rolling.valid) & valid
     return ts, np.asarray(rolling.bpm), ok
 
