@@ -323,8 +323,11 @@ def bench_decode_e2e(clip_seconds: float = 15.0) -> dict:
         "resolution": f"{W}x{H}",
         "codec": "MJPG",
         "staging_ring": stats,
-        "note": ("decode runs on the 1-core host; consumer_blocked >> 0 "
-                 "means the pipeline is decode-bound, not chip-bound"),
+        "note": ("ring stats localize the bottleneck: consumer_blocked >> 0 "
+                 "= decode-bound (1-core host); producer_blocked >> 0 = the "
+                 "consumer side is slower — on this harness that is the "
+                 "remote relay's host->device link (~6 MB/frame over a "
+                 "network tunnel), which real TPU hosts replace with PCIe"),
     }
 
 

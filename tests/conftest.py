@@ -46,6 +46,7 @@ _SLOW_TESTS = {
     "test_measure_app_welch_recovers_bpm",
     "test_trained_checkpoint_localizes_faces",
     "test_detector_adapter_interface",
+    "test_two_bpms_recovered_independently",
 }
 
 

@@ -23,7 +23,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SkinDetectorConfig", "skin_mask", "detect_faces"]
+__all__ = ["SkinDetectorConfig", "skin_mask", "pooled_skin_mask",
+           "detect_faces"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +84,22 @@ def skin_mask(frames: jnp.ndarray, cfg: SkinDetectorConfig = SkinDetectorConfig(
     return raw
 
 
+def pooled_skin_mask(frames: jnp.ndarray, cfg: SkinDetectorConfig
+                     ) -> jnp.ndarray:
+    """Thresholded skin mask on the (optionally ``downsample``-reduced)
+    pixel grid, shape ``(T, H//k, W//k)`` bool."""
+    T, H0, W0, _ = frames.shape
+    k = cfg.downsample
+    if k > 1:
+        Hc, Wc = (H0 // k) * k, (W0 // k) * k
+        if cfg.pool_mode == "sample":
+            frames = frames[:, k // 2:Hc:k, k // 2:Wc:k]
+        else:
+            frames = frames[:, :Hc, :Wc].reshape(
+                T, Hc // k, k, Wc // k, k, 3).astype(jnp.float32).mean((2, 4))
+    return skin_mask(frames, cfg) >= cfg.threshold
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_faces(frames: jnp.ndarray,
                  cfg: SkinDetectorConfig = SkinDetectorConfig()
@@ -97,15 +114,8 @@ def detect_faces(frames: jnp.ndarray,
     """
     T, H0, W0, _ = frames.shape
     k = cfg.downsample
-    if k > 1:
-        Hc, Wc = (H0 // k) * k, (W0 // k) * k
-        if cfg.pool_mode == "sample":
-            frames = frames[:, k // 2:Hc:k, k // 2:Wc:k]
-        else:
-            frames = frames[:, :Hc, :Wc].reshape(
-                T, Hc // k, k, Wc // k, k, 3).astype(jnp.float32).mean((2, 4))
-    T, H, W = frames.shape[:3]
-    mask = skin_mask(frames, cfg) >= cfg.threshold          # (T, H, W)
+    mask = pooled_skin_mask(frames, cfg)                    # (T, H, W)
+    T, H, W = mask.shape
 
     col_any = jnp.any(mask, axis=1)                          # (T, W)
     row_any = jnp.any(mask, axis=2)                          # (T, H)

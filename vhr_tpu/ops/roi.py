@@ -24,6 +24,7 @@ __all__ = [
     "cheek_roi",
     "forehead_roi",
     "holdover",
+    "holdover_multi",
 ]
 
 
@@ -142,3 +143,93 @@ def holdover_with_carry(box: jnp.ndarray, valid: jnp.ndarray,
         carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0), jnp.asarray(False))
     final, (boxes, valids) = jax.lax.scan(step, carry, (box, valid))
     return BoxTrack(box=boxes, valid=valids), final
+
+
+def holdover_multi(box: jnp.ndarray, valid: jnp.ndarray,
+                   hold_frames: int = 15) -> BoxTrack:
+    """K-track holdover with identity assignment (multi-subject monitoring).
+
+    Per-frame candidate boxes arrive in arbitrary (or x-sorted) order and
+    identity must persist through dropouts — a pure per-frame ordering
+    re-numbers the survivors when one face disappears, corrupting every
+    track.  This scan keeps K persistent tracks:
+
+    1. greedy nearest-center matching of valid candidates to live tracks
+       (K small — a K-step argmin loop, all fixed shapes);
+    2. matched tracks refresh their box + holdover budget; unmatched live
+       tracks hold their last box for ``hold_frames`` frames (the single-face
+       rule, ``analysis/utils/roi.py:91-101``);
+    3. still-unmatched candidates claim free slots (never-used or
+       budget-expired tracks) left-to-right, so first appearances get
+       x-ordered identities.
+
+    Args:
+      box: ``(T, K, 4)`` int32 per-frame candidate detections.
+      valid: ``(T, K)`` bool.
+    Returns:
+      :class:`BoxTrack` with ``box (T, K, 4)``, ``valid (T, K)`` — slot k is
+      one subject for the whole clip.
+    """
+    K = box.shape[1]
+    INF = jnp.float32(1e9)
+
+    def centers(b):
+        bf = b.astype(jnp.float32)
+        return (bf[..., 0] + bf[..., 2]) * 0.5, (bf[..., 1] + bf[..., 3]) * 0.5
+
+    def step(carry, inp):
+        last, budget, has = carry                 # (K,4), (K,), (K,)
+        cand, cval = inp                          # (K,4), (K,)
+        tx, ty = centers(last)
+        cx, cy = centers(cand)
+        cost = (jnp.abs(tx[:, None] - cx[None, :])
+                + jnp.abs(ty[:, None] - cy[None, :]))
+        cost = jnp.where(jnp.logical_and(has[:, None], cval[None, :]),
+                         cost, INF)
+
+        def match(i, st):
+            assign, avail_t, avail_c = st
+            masked = jnp.where(
+                jnp.logical_and(avail_t[:, None], avail_c[None, :]),
+                cost, INF)
+            flat = jnp.argmin(masked.reshape(-1))
+            ti, ci = flat // K, flat % K
+            ok = masked.reshape(-1)[flat] < INF
+            assign = jnp.where(ok, assign.at[ti].set(ci.astype(jnp.int32)),
+                               assign)
+            avail_t = jnp.logical_and(
+                avail_t, ~jnp.logical_and(jnp.arange(K) == ti, ok))
+            avail_c = jnp.logical_and(
+                avail_c, ~jnp.logical_and(jnp.arange(K) == ci, ok))
+            return assign, avail_t, avail_c
+
+        assign, _, avail_c = jax.lax.fori_loop(
+            0, K, match, (jnp.full((K,), -1, jnp.int32), has, cval))
+        got = assign >= 0
+
+        # New subjects claim free slots (never used, or holdover expired),
+        # leftmost candidate -> lowest free slot.
+        unmatched = jnp.logical_and(cval, avail_c)
+        free = jnp.logical_and(~got, jnp.logical_or(~has, budget <= 0))
+        cand_order = jnp.argsort(jnp.where(unmatched, cx, INF))
+        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        n_new = jnp.sum(unmatched.astype(jnp.int32))
+        seed = jnp.logical_and(free, free_rank < n_new)
+        cidx = cand_order[jnp.clip(free_rank, 0, K - 1)]
+        assign = jnp.where(seed, cidx.astype(jnp.int32), assign)
+        got = assign >= 0
+
+        a = jnp.clip(assign, 0, K - 1)
+        new_last = jnp.where(got[:, None], cand[a], last)
+        reuse = jnp.logical_and(~got,
+                                jnp.logical_and(has, budget > 0))
+        new_budget = jnp.where(got, hold_frames,
+                               jnp.where(reuse, budget - 1, budget))
+        new_has = jnp.logical_or(got, has)
+        out_valid = jnp.logical_or(got, reuse)
+        return ((new_last, new_budget, new_has), (new_last, out_valid))
+
+    carry = (jnp.zeros((K, 4), jnp.int32), jnp.zeros((K,), jnp.int32),
+             jnp.zeros((K,), bool))
+    _, (boxes, valids) = jax.lax.scan(step, carry, (box, valid))
+    return BoxTrack(box=boxes, valid=valids)

@@ -31,7 +31,9 @@ __all__ = [
     "SignalTrace",
     "extract_signals",
     "extract_signals_fused",
+    "extract_signals_multi",
     "measure_green_avg",
+    "measure_green_avg_multi",
     "measure_ica",
     "measure_app_welch",
     "to_measurement_array",
@@ -143,6 +145,65 @@ def extract_signals_fused(frames: jnp.ndarray,
     rois = jnp.where(res.roi_valid[:, None], rois, 0)
     return SignalTrace(bgr=res.means, valid=res.roi_valid, rois=rois,
                        boxes=res.boxes)
+
+
+@functools.partial(jax.jit, static_argnames=("k_faces", "cfg", "det"))
+def extract_signals_multi(frames: jnp.ndarray, k_faces: int = 2,
+                          cfg: PipelineConfig = PipelineConfig(),
+                          det=None) -> SignalTrace:
+    """Multi-subject :func:`extract_signals`: per-face cheek-ROI means.
+
+    Top-``k_faces`` skin regions per frame (``models.multiface``), per-face
+    <=15-frame holdover (the single-face scan vmapped over the face axis),
+    per-face masked ROI reduction.  Exceeds the reference, which requests
+    ``num_faces=2`` but processes only ``face_landmarks[0]``
+    (``rppg_LIVESTREAM.py:308,339``).
+
+    Returns a :class:`SignalTrace` with a leading face axis on every field:
+    ``bgr (T, K, 3)``, ``valid (T, K)``, ``rois/boxes (T, K, 4)``.
+    """
+    from ..models import multiface
+
+    T, H, W, _ = frames.shape
+    det = det or skin_detector.SkinDetectorConfig()
+    raw_boxes, raw_valid = multiface.detect_faces_multi(frames, k_faces, det)
+
+    track = vroi.holdover_multi(raw_boxes, raw_valid,
+                                cfg.roi.landmark_hold_frames)  # (T, K, ...)
+
+    rois = vroi.cheek_roi(track.box, cfg.roi, W, H)          # (T, K, 4)
+    rois = jnp.where(track.valid[..., None], rois, 0)
+
+    def means_one(r):
+        m, _ = vreduce.roi_channel_means(frames, r)
+        return m
+    means = jax.vmap(means_one, in_axes=1, out_axes=1)(rois)  # (T, K, 3)
+    return SignalTrace(bgr=means, valid=track.valid, rois=rois,
+                       boxes=track.box)
+
+
+def measure_green_avg_multi(frames: jnp.ndarray, fps: float,
+                            k_faces: int = 2,
+                            cfg: PipelineConfig = PipelineConfig(),
+                            det=None
+                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-face green-channel BPM traces: ``(ts (T,), bpm (T, K), valid
+    (T, K))`` — K independent subjects monitored from one clip."""
+    trace = extract_signals_multi(frames, k_faces, cfg, det)
+    T = frames.shape[0]
+    ts = np.arange(T) / fps
+    bpm = np.zeros((T, k_faces), np.float32)
+    ok = np.zeros((T, k_faces), bool)
+    for k in range(k_faces):
+        green = _fill_invalid(trace.bgr[:, k, cfg.channel], trace.valid[:, k])
+        rolling = vwin.rolling_bpm(
+            green, fps, cfg.band, cfg.window_len(fps),
+            cfg.acquisition_len(fps), estimator=cfg.estimator,
+            segment_seconds=cfg.welch.segment_seconds)
+        bpm[:, k] = np.asarray(rolling.bpm)
+        ok[:, k] = np.asarray(jnp.logical_and(rolling.valid,
+                                              trace.valid[:, k]))
+    return ts, bpm, ok
 
 
 def _fill_invalid(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

@@ -17,7 +17,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["SynthSpec", "SynthVideo", "synthesize"]
+__all__ = ["SynthSpec", "SynthVideo", "synthesize",
+           "FaceSpec", "MultiSynthVideo", "synthesize_multi"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,3 +92,68 @@ def synthesize(spec: SynthSpec) -> SynthVideo:
 
     return SynthVideo(frames=frames, fps=spec.fps, bpm_truth=bpm_t,
                       face_boxes=boxes, pulse=pulse)
+
+
+@dataclasses.dataclass(frozen=True)
+class FaceSpec:
+    """One subject in a multi-face clip."""
+
+    center: Tuple[float, float]                       # (x, y) fractions
+    bpm: float = 72.0
+    radii: Tuple[float, float] = (0.12, 0.18)
+    skin_bgr: Tuple[float, float, float] = (105.0, 135.0, 180.0)
+    pulse_amplitude: float = 2.0
+    dropout_frames: Tuple[int, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiSynthVideo:
+    frames: np.ndarray        # (T, H, W, 3) uint8 BGR
+    fps: float
+    bpm_truth: np.ndarray     # (K,) per-face BPM
+    face_boxes: np.ndarray    # (T, K, 4) int32 ground truth (x-sorted)
+
+
+def synthesize_multi(faces: Tuple[FaceSpec, ...],
+                     height: int = 144, width: int = 256,
+                     fps: float = 30.0, duration_s: float = 40.0,
+                     background_bgr: Tuple[float, float, float] = (60.0,) * 3,
+                     noise_std: float = 0.0, seed: int = 0
+                     ) -> MultiSynthVideo:
+    """Several pulsing faces in one clip (multi-subject monitoring fixture;
+    the reference configures ``num_faces=2`` at ``rppg_LIVESTREAM.py:308``
+    but only ever processes ``face_landmarks[0]``)."""
+    rng = np.random.default_rng(seed)
+    T = int(round(duration_s * fps))
+    H, W = height, width
+    t = np.arange(T) / fps
+    yy, xx = np.mgrid[0:H, 0:W]
+    order = np.argsort([f.center[0] for f in faces])
+    faces = tuple(faces[i] for i in order)
+    K = len(faces)
+
+    frames = np.empty((T, H, W, 3), dtype=np.uint8)
+    boxes = np.zeros((T, K, 4), dtype=np.int32)
+    bg = np.array(background_bgr, dtype=np.float32)
+    pulses = [np.sin(2.0 * np.pi * (f.bpm / 60.0) * t) for f in faces]
+
+    for i in range(T):
+        img = np.broadcast_to(bg, (H, W, 3)).astype(np.float32).copy()
+        for k, f in enumerate(faces):
+            if i in f.dropout_frames:
+                continue
+            cx, cy = f.center[0] * W, f.center[1] * H
+            rx, ry = f.radii[0] * W, f.radii[1] * H
+            mask = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) <= 1.0
+            color = np.array(f.skin_bgr, np.float32).copy()
+            color[1] += f.pulse_amplitude * pulses[k][i]
+            img[mask] = color
+            ys, xs = np.nonzero(mask)
+            boxes[i, k] = [xs.min(), ys.min(), xs.max(), ys.max()]
+        if noise_std > 0:
+            img += rng.normal(0.0, noise_std, size=img.shape)
+        frames[i] = np.clip(img, 0, 255).astype(np.uint8)
+
+    return MultiSynthVideo(frames=frames, fps=fps,
+                           bpm_truth=np.array([f.bpm for f in faces]),
+                           face_boxes=boxes)
