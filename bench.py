@@ -173,30 +173,35 @@ def bench_live_latency() -> dict:
     step = live.make_step(cfg, donate=True)
     state = live.init_state(cfg)
     state, out = step(state, frames[0])
-    jax.block_until_ready(out.bpm)                      # compile + warm
-    lats = []
+    float(out.bpm)          # compile + warm (value fetch: block_until_ready
+    lats = []               # can return early through the relay)
     for i in range(1, K):
         t0 = time.perf_counter()
         state, out = step(state, frames[i])
-        jax.block_until_ready(out.bpm)
+        float(out.bpm)
         lats.append((time.perf_counter() - t0) * 1e3)
     p50_rtt = float(np.percentile(lats, 50))
 
     # Scan-amortized device compute per frame (one dispatch, K steps).
     @jax.jit
-    def run(state, frames):
+    def run(state, frames, seed):
         def body(s, f):
             s2, o = live.step(s, f, cfg)
             return s2, o.bpm
-        s, bpms = jax.lax.scan(body, state, frames)
-        return s, jnp.sum(bpms)
+        s, bpms = jax.lax.scan(body, state,
+                               frames + seed.astype(frames.dtype))
+        return jnp.sum(bpms)
 
     state2 = live.init_state(cfg)
-    jax.block_until_ready(run(state2, frames))          # compile + warm
-    state3 = live.init_state(cfg)
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(state3, frames))
-    per_frame_ms = (time.perf_counter() - t0) * 1e3 / K
+    float(run(state2, frames, jnp.uint8(0)))            # compile + warm
+    float(run(live.init_state(cfg), frames, jnp.uint8(3)))   # discard
+    times = []
+    for k in range(3):
+        sd = jnp.uint8(1 + (time.time_ns() + k) % 199)
+        t0 = time.perf_counter()
+        float(run(live.init_state(cfg), frames, sd))    # value fetch = sync
+        times.append(time.perf_counter() - t0)
+    per_frame_ms = float(np.median(times)) * 1e3 / K
 
     return {
         "metric": "live_720p_step_latency_ms",

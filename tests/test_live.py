@@ -76,3 +76,33 @@ def test_live_state_is_a_fixed_pytree(clip):
     assert jax.tree.structure(st) == jax.tree.structure(st1)
     for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st1)):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_live_ring_fill_welch_matches_reference_port(clip):
+    """Pin the ring-FILL transient against a port of the reference's per-frame
+    Welch (``rppg_LIVESTREAM.py:347`` -> ``estimate_bpm_welch``): once one
+    full 9 s segment of valid data exists and until the ring wraps, the live
+    step's BPM must equal scipy Welch on the growing deque contents.  Before
+    that, the reference would emit small-nperseg estimates; the live step
+    deliberately reports invalid (acquisition semantics) — also pinned."""
+    cfg = live.LiveConfig(fps=clip.fps, ring_len=400)
+    nperseg = int(cfg.welch_segment_seconds * cfg.fps)      # 270
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False)
+    deque_filt = []
+    T = 380                                                  # < ring_len
+    for i, f in enumerate(clip.frames[:T]):
+        st, out = stp(st, jnp.asarray(f))
+        deque_filt.append(float(out.green_filtered))
+        if i < nperseg - 1:
+            assert not bool(out.bpm_valid)                   # acquiring
+            continue
+        assert bool(out.bpm_valid)
+        x = np.asarray(deque_filt)
+        freqs, psd = sp.welch(x - x.mean(), fs=cfg.fps, window="hann",
+                              nperseg=nperseg, noverlap=nperseg // 2,
+                              detrend="constant", scaling="density",
+                              average="mean")
+        band = (freqs >= cfg.band.low_hz) & (freqs <= cfg.band.high_hz)
+        ref_bpm = freqs[band][np.argmax(psd[band])] * 60.0
+        assert float(out.bpm) == pytest.approx(ref_bpm, abs=1e-3), i

@@ -28,6 +28,8 @@ import numpy as np
 
 from . import registry
 from ..io import video as vio
+from ..utils.logging import get_logger
+from ..utils.profiling import StageTimer
 
 ORIGINAL = "original"
 
@@ -47,18 +49,26 @@ def run_sweep(video_path: str, truth_path: str, degradations, methods,
               results_dir: str = "results", metrics_dir: str = None
               ) -> Dict[str, Dict[str, Dict[str, np.ndarray]]]:
     """Programmatic entry: returns {degradation: {method: {label: (N,2)}}}."""
-    truth = vio.read_truth_csv(truth_path)
     base = Path(video_path).stem
+    log = get_logger("vhr_tpu.analysis",
+                     jsonl_path=os.path.join(results_dir, base, "run.jsonl")
+                     if os.path.isdir(os.path.join(results_dir, base))
+                     else None)
+    timer = StageTimer()
+    truth = vio.read_truth_csv(truth_path)
     all_results = {}
 
     for degradation in degradations:
-        print(f"applying degradation: {degradation}")
+        log.info("applying degradation: %s", degradation)
         results: Dict[str, Dict[str, np.ndarray]] = {m: {} for m in methods}
-        for degraded_path, label in apply_degradation(degradation, video_path):
-            print(f"  level: {label}")
+        with timer.stage(f"degrade:{degradation}"):
+            levels = list(apply_degradation(degradation, video_path))
+        for degraded_path, label in levels:
+            log.info("  level: %s", label)
             for method in methods:
-                print(f"    measuring with {method}")
-                measurement = apply_measurement(degraded_path, method)
+                log.info("    measuring with %s", method)
+                with timer.stage(f"measure:{method}", sync=True):
+                    measurement = apply_measurement(degraded_path, method)
                 results[method][label] = measurement
                 out_dir = Path(results_dir) / base / "measurements" / \
                     method / degradation
@@ -67,10 +77,12 @@ def run_sweep(video_path: str, truth_path: str, degradations, methods,
 
         plots_dir = os.path.join(results_dir, base, "plots")
         for name, module in registry.iter_metrics(metrics_dir):
-            print(f"  metric: {name}")
-            module.plot(truth, results, x_label=degradation,
-                        output_dir=plots_dir)
+            log.info("  metric: %s", name)
+            with timer.stage(f"metric:{name}"):
+                module.plot(truth, results, x_label=degradation,
+                            output_dir=plots_dir)
         all_results[degradation] = results
+    log.info("stage timings: %s", timer.json())
 
     summary = {
         "video": str(video_path),
@@ -81,6 +93,7 @@ def run_sweep(video_path: str, truth_path: str, degradations, methods,
                          for lbl, arr in by_label.items()}
                      for m, by_label in by_m.items()}
                  for d, by_m in all_results.items()},
+        "stage_timings": timer.report(),
     }
     with open(os.path.join(results_dir, base, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
@@ -106,20 +119,21 @@ def main(argv=None) -> int:
 
     video_path = args.video if os.path.exists(args.video) else \
         os.path.join(args.videos_dir, args.video)
+    log = get_logger("vhr_tpu.analysis")
     if not os.path.exists(video_path):
-        print(f"video not found: {args.video}")
+        log.error("video not found: %s", args.video)
         return 1
 
     truth_path = args.truth or os.path.join(
         os.path.dirname(video_path), f"{Path(video_path).stem}.csv")
     if not os.path.exists(truth_path):
-        print(f"ground truth not found: {truth_path}")
+        log.error("ground truth not found: %s", truth_path)
         return 1
 
     os.environ.setdefault("VHR_RESULTS_DIR", args.results_dir)
     run_sweep(video_path, truth_path, args.degradation, args.methods,
               results_dir=args.results_dir, metrics_dir=args.metrics_dir)
-    print("done")
+    log.info("done")
     return 0
 
 

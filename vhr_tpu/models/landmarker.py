@@ -34,6 +34,10 @@ class LandmarkerConfig:
     num_landmarks: int = 68
     stem_features: int = 32
     block_features: Tuple[int, ...] = (64, 128, 128, 256)
+    # "flatten" keeps the deep 3x3 spatial map (localization needs WHERE;
+    # global average pooling erases it — held-out IoU 0.744 with GAP vs the
+    # 0.8 bar); "gap" is the cheaper classification-style head.
+    pool: str = "flatten"
     compute_dtype: Any = jnp.bfloat16
 
 
@@ -69,7 +73,10 @@ class FaceLandmarker(nn.Module):
         for i, f in enumerate(c.block_features):
             x = _SeparableBlock(features=f, dtype=c.compute_dtype,
                                 name=f"block{i}")(x)
-        x = jnp.mean(x, axis=(1, 2))                      # global average pool
+        if c.pool == "gap":
+            x = jnp.mean(x, axis=(1, 2))
+        else:                                   # keep the spatial map
+            x = x.reshape(x.shape[0], -1)
         x = x.astype(jnp.float32)
         feat = nn.Dense(256, name="trunk")(x)
         feat = nn.relu(feat)

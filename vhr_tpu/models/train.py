@@ -25,26 +25,38 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from . import facegen
 from .landmarker import FaceLandmarker, LandmarkerConfig
 
 __all__ = ["TrainConfig", "init_state", "make_train_step", "synth_batch",
-           "param_shardings", "train"]
+           "param_shardings", "train", "evaluate_iou"]
 
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     model: LandmarkerConfig = LandmarkerConfig()
+    # The HARD generator (full tone range, colored light, skin backgrounds,
+    # pose/occlusion/texture) — see models/facegen.py; round 1 trained on
+    # plain ellipses, which the weight-free chroma detector also solves.
+    gen: facegen.FaceGenConfig = facegen.FaceGenConfig()
     learning_rate: float = 1e-3
     weight_decay: float = 1e-4
     batch_size: int = 64
     presence_weight: float = 0.2
+    # Extra weight on the landmark cloud's min/max box — the ONLY quantity
+    # the rPPG pipeline consumes (rppg_VIDEO.py:93-98), so its extremes
+    # deserve more gradient than the average landmark.
+    bbox_weight: float = 2.0
+    total_steps: int = 4000              # cosine decay horizon
 
 
 def init_state(cfg: TrainConfig, rng: jax.Array):
     model = FaceLandmarker(cfg.model)
     s = cfg.model.input_size
     params = model.init(rng, jnp.zeros((1, s, s, 3)))["params"]
-    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    sched = optax.cosine_decay_schedule(cfg.learning_rate, cfg.total_steps,
+                                        alpha=0.05)
+    tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
     opt_state = tx.init(params)
     return model, params, tx, opt_state
 
@@ -62,13 +74,24 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def _loss_fn(model, params, batch, presence_weight):
-    lm, presence = model.apply({"params": params}, batch["image"])
+def _loss_fn(model, params, batch, presence_weight, bbox_weight=0.0):
+    img = batch["image"]
+    if img.dtype == jnp.uint8:    # facegen ships u8; normalize on device
+        img = img.astype(jnp.float32) / 255.0
+    lm, presence = model.apply({"params": params}, img)
     lm_err = jnp.sum((lm - batch["landmarks"]) ** 2, axis=-1)   # (B, L)
-    lm_loss = jnp.mean(jnp.where(batch["has_face"][:, None], lm_err, 0.0))
+    has = batch["has_face"]
+    lm_loss = jnp.mean(jnp.where(has[:, None], lm_err, 0.0))
     bce = optax.sigmoid_binary_cross_entropy(
-        presence, batch["has_face"].astype(jnp.float32))
-    return lm_loss + presence_weight * jnp.mean(bce), (lm_loss, jnp.mean(bce))
+        presence, has.astype(jnp.float32))
+    loss = lm_loss + presence_weight * jnp.mean(bce)
+    if bbox_weight:
+        pb = jnp.concatenate([jnp.min(lm, axis=1), jnp.max(lm, axis=1)], -1)
+        tb = jnp.concatenate([jnp.min(batch["landmarks"], axis=1),
+                              jnp.max(batch["landmarks"], axis=1)], -1)
+        bbox_err = jnp.sum(jnp.abs(pb - tb), axis=-1)           # (B,)
+        loss = loss + bbox_weight * jnp.mean(jnp.where(has, bbox_err, 0.0))
+    return loss, (lm_loss, jnp.mean(bce))
 
 
 def make_train_step(model, tx, cfg: TrainConfig, mesh: Mesh = None,
@@ -81,7 +104,8 @@ def make_train_step(model, tx, cfg: TrainConfig, mesh: Mesh = None,
     """
     def step(params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(
-            lambda p: _loss_fn(model, p, batch, cfg.presence_weight),
+            lambda p: _loss_fn(model, p, batch, cfg.presence_weight,
+                               cfg.bbox_weight),
             has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -108,54 +132,14 @@ def make_train_step(model, tx, cfg: TrainConfig, mesh: Mesh = None,
 
 def synth_batch(cfg: TrainConfig, rng: np.random.Generator
                 ) -> Dict[str, np.ndarray]:
-    """A batch of synthetic faces with landmark ground truth.
-
-    Faces are skin-tone ellipses (as in ``vhr_tpu.utils.synth``) with the
-    ground-truth landmarks placed uniformly on the ellipse boundary; 10% of
-    samples are face-free backgrounds for presence supervision.
-    """
-    s = cfg.model.input_size
-    L = cfg.model.num_landmarks
-    B = cfg.batch_size
-    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
-
-    images = np.empty((B, s, s, 3), np.float32)
-    lms = np.zeros((B, L, 2), np.float32)
-    has = np.zeros((B,), bool)
-    theta = 2.0 * np.pi * np.arange(L) / L
-
-    for b in range(B):
-        bg = rng.uniform(0.1, 0.5, size=3).astype(np.float32)
-        img = np.broadcast_to(bg, (s, s, 3)).copy()
-        # Distractors: small non-face blobs (some skin-toned) so the model
-        # can't shortcut on color alone.
-        for _ in range(rng.integers(0, 3)):
-            dcx, dcy = rng.uniform(0.0, 1.0, 2) * s
-            dr = rng.uniform(0.02, 0.08) * s
-            dmask = ((xx - dcx) ** 2 + (yy - dcy) ** 2) <= dr ** 2
-            img[dmask] = rng.uniform(0.2, 0.9, 3).astype(np.float32)
-        if rng.random() > 0.1:
-            cx, cy = rng.uniform(0.3, 0.7, 2) * s
-            rx = rng.uniform(0.12, 0.3) * s
-            ry = rx * rng.uniform(1.1, 1.6)
-            mask = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) <= 1.0
-            skin = np.array([0.72, 0.55, 0.42], np.float32) \
-                + rng.uniform(-0.08, 0.08, 3).astype(np.float32)  # RGB
-            img[mask] = skin
-            # Illumination gradient across the face (shading realism).
-            grad = 1.0 + rng.uniform(-0.15, 0.15) * (xx - cx) / max(rx, 1.0)
-            img[mask] *= np.clip(grad[mask, None], 0.6, 1.4)
-            lms[b, :, 0] = (cx + rx * np.cos(theta)) / s
-            lms[b, :, 1] = (cy + ry * np.sin(theta)) / s
-            has[b] = True
-        img += rng.normal(0, 0.02, img.shape).astype(np.float32)
-        images[b] = np.clip(img, 0, 1)
-
-    return {"image": images, "landmarks": lms,
-            "has_face": has}
+    """A batch from the hard face generator (``models/facegen.py``)."""
+    gen = dataclasses.replace(cfg.gen, size=cfg.model.input_size)
+    return facegen.sample_batch(gen, rng, cfg.batch_size,
+                                cfg.model.num_landmarks)
 
 
-def train(cfg: TrainConfig, steps: int, seed: int = 0, mesh: Mesh = None):
+def train(cfg: TrainConfig, steps: int, seed: int = 0, mesh: Mesh = None,
+          log_every: int = 0):
     """Train the landmarker on synthetic faces; returns (model, params, losses)."""
     rng = np.random.default_rng(seed)
     model, params, tx, opt_state = init_state(cfg, jax.random.PRNGKey(seed))
@@ -163,9 +147,90 @@ def train(cfg: TrainConfig, steps: int, seed: int = 0, mesh: Mesh = None):
     if mesh is not None:
         params = jax.tree.map(jax.device_put, params,
                               param_shardings(params, mesh))
-    losses = []
-    for _ in range(steps):
+    losses_dev = []
+    for i in range(steps):
         batch = jax.tree.map(jnp.asarray, synth_batch(cfg, rng))
         params, opt_state, loss, aux = step(params, opt_state, batch)
-        losses.append(float(loss))
+        # No per-step host sync (each costs a relay RTT): batch generation
+        # for step i+1 overlaps device execution of step i.  Shallow forced
+        # sync every few steps keeps the async queue bounded (deep queues
+        # hang the relay).
+        losses_dev.append(loss)
+        if (i + 1) % 8 == 0:
+            jax.block_until_ready(loss)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i + 1}/{steps}: loss={float(loss):.4f} "
+                  f"(lm={float(aux[0]):.4f} bce={float(aux[1]):.4f})",
+                  flush=True)
+    losses = (np.asarray(jnp.stack(losses_dev)).tolist()
+              if losses_dev else [])
     return model, params, losses
+
+
+def evaluate_iou(params, cfg: TrainConfig, n_clips: int = 8,
+                 frames_per_clip: int = 8, held_out: bool = True,
+                 seed: int = 1234, threshold: float = 0.0) -> float:
+    """Mean box IoU of the learned detector on generator clips.
+
+    ``held_out=True`` (the honest bar) draws from the DISJOINT evaluation
+    family of ``facegen`` — interpolated tones, shifted scale/aspect/angle
+    ranges, elliptical occluders — never the training family.
+    """
+    from .landmarker import make_detector
+
+    gen = dataclasses.replace(cfg.gen, size=cfg.model.input_size,
+                              held_out=held_out, face_prob=1.0)
+    det = make_detector(params, cfg.model, threshold)
+    rng = np.random.default_rng(seed)
+    ious = []
+    for c in range(n_clips):
+        hw = [(96, 96), (96, 120), (120, 160)][c % 3]
+        frames, truth = facegen.render_clip(gen, rng, frames_per_clip, *hw)
+        boxes, valid = det(jnp.asarray(frames))
+        b = np.asarray(boxes)
+        for i in range(frames_per_clip):
+            ix = max(0, min(b[i, 2], truth[i, 2]) - max(b[i, 0], truth[i, 0]))
+            iy = max(0, min(b[i, 3], truth[i, 3]) - max(b[i, 1], truth[i, 1]))
+            inter = ix * iy
+            union = ((b[i, 2] - b[i, 0]) * (b[i, 3] - b[i, 1])
+                     + (truth[i, 2] - truth[i, 0])
+                     * (truth[i, 3] - truth[i, 1]) - inter)
+            ious.append(inter / max(union, 1))
+    return float(np.mean(ious))
+
+
+def main(argv=None):
+    """CLI: train + evaluate + checkpoint the landmarker.
+
+    ``python -m vhr_tpu.models.train --steps 4000 --out checkpoints/landmarker``
+    """
+    import argparse
+
+    from . import checkpoint as ckpt
+
+    ap = argparse.ArgumentParser(description=train.__doc__)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None, help="checkpoint dir")
+    ap.add_argument("--eval-clips", type=int, default=12)
+    args = ap.parse_args(argv)
+
+    cfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
+                      total_steps=args.steps)
+    model, params, losses = train(cfg, args.steps, seed=args.seed,
+                                  log_every=max(1, args.steps // 20))
+    iou_ho = evaluate_iou(params, cfg, n_clips=args.eval_clips,
+                          held_out=True)
+    iou_tr = evaluate_iou(params, cfg, n_clips=args.eval_clips,
+                          held_out=False)
+    print(f"final loss {losses[-1]:.4f}; IoU train-family {iou_tr:.3f}, "
+          f"HELD-OUT {iou_ho:.3f}")
+    if args.out:
+        ckpt.save_params(args.out, params)
+        print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,10 +77,19 @@ def temporal_ideal_bandpass(x: jnp.ndarray, fps: float, band: HRBand
     return jnp.fft.irfft(X, n=T, axis=0).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("fps", "cfg"))
+@functools.partial(jax.jit, static_argnames=("fps", "cfg", "use_pallas",
+                                              "interpret"))
 def magnify(frames: jnp.ndarray, fps: float,
-            cfg: EVMConfig = EVMConfig()) -> jnp.ndarray:
+            cfg: EVMConfig = EVMConfig(),
+            use_pallas: bool = False,
+            interpret: bool = False) -> jnp.ndarray:
     """Amplify subtle color oscillations in the EVM band.
+
+    With ``use_pallas`` (needs ``W % 128 == 0``) both full-resolution stages
+    run as fused Pallas kernels — pyramid front-end (``ops.pallas_evm``) and
+    upsample-add-reconstruct back-end (``ops.pallas_evm_recon``) — so no
+    full-res float tensor ever hits HBM (~108 MB -> ~24 MB traffic per 1080p
+    frame incl. layout transposes).
 
     Args:
       frames: ``(T, H, W, 3)`` uint8 BGR.
@@ -88,13 +97,25 @@ def magnify(frames: jnp.ndarray, fps: float,
       magnified ``(T, H, W, 3)`` uint8 BGR.
     """
     T, H, W, _ = frames.shape
-    yiq = color.bgr_u8_to_yiq(frames)
-    low = gaussian_pyramid_level(yiq, cfg.pyramid_levels)
-    band = temporal_ideal_bandpass(low, fps, cfg.band)
     gains = jnp.asarray([cfg.amplification,
                          cfg.amplification * cfg.attenuate_chroma,
                          cfg.amplification * cfg.attenuate_chroma],
-                        band.dtype)
+                        jnp.float32)
+    if use_pallas and W % 128 == 0 and cfg.pyramid_levels >= 1:
+        from ..ops.pallas_evm import to_planar, yiq_pyrdown_pallas
+        from ..ops.pallas_evm_recon import evm_reconstruct_pallas
+
+        low = jnp.moveaxis(yiq_pyrdown_pallas(frames, interpret=interpret),
+                           1, -1)                       # (T, H/2, W/2, 3)
+        low = gaussian_pyramid_level(low, cfg.pyramid_levels - 1)
+        band = temporal_ideal_bandpass(low, fps, cfg.band) * gains
+        out = evm_reconstruct_pallas(to_planar(frames),
+                                     jnp.moveaxis(band, -1, 1),
+                                     interpret=interpret)
+        return jnp.transpose(out, (0, 2, 3, 1))
+    yiq = color.bgr_u8_to_yiq(frames)
+    low = gaussian_pyramid_level(yiq, cfg.pyramid_levels)
+    band = temporal_ideal_bandpass(low, fps, cfg.band)
     band = band * gains
     up = jax.image.resize(band, (T, H, W, 3), "linear")
     return color.yiq_to_bgr_u8(yiq + up)
