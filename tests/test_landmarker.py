@@ -39,22 +39,59 @@ def test_detector_adapter_interface():
     assert trace.bgr.shape == (30, 3)
 
 
+def _iou(a, c):
+    ix = max(0, min(a[2], c[2]) - max(a[0], c[0]))
+    iy = max(0, min(a[3], c[3]) - max(a[1], c[1]))
+    inter = ix * iy
+    union = ((a[2] - a[0]) * (a[3] - a[1])
+             + (c[2] - c[0]) * (c[3] - c[1]) - inter)
+    return inter / max(union, 1)
+
+
+def _clip_ious(det, gen_cfg, n_clips=4, frames=4, seed=7):
+    """Mean-IoU samples of a detector over held-out facegen clips."""
+    from vhr_tpu.models import facegen
+    rng = np.random.default_rng(seed)
+    ious = []
+    for c in range(n_clips):
+        fr, truth = facegen.render_clip(gen_cfg, rng, frames, 96, 120)
+        boxes, valid = det(jnp.asarray(fr))
+        b, v = np.asarray(boxes), np.asarray(valid)
+        ious += [_iou(b[i], truth[i]) if v[i] else 0.0 for i in range(frames)]
+    return float(np.mean(ious))
+
+
 @pytest.mark.skipif(not CKPT.exists(), reason="no trained checkpoint in repo")
 def test_trained_checkpoint_localizes_faces():
+    """IoU >= 0.8 on the HELD-OUT generator family (VERDICT r1 item 4) —
+    interpolated tones, shifted pose ranges, elliptical occluders; never the
+    training family.  Round 1's bar was 0.5 on the training distribution."""
+    from vhr_tpu.models import facegen
     det = lmk.load_default_detector()
+    gen = facegen.FaceGenConfig(held_out=True, face_prob=1.0)
+    assert _clip_ious(det, gen, n_clips=5) >= 0.8
+    # And the easy single-face synth clips it must not have regressed on.
     clip = synthesize(SynthSpec(duration_s=2.0, height=96, width=120))
     boxes, valid = det(jnp.asarray(clip.frames))
     assert bool(np.asarray(valid).all())
     b = np.asarray(boxes)
-    t = clip.face_boxes
+    ious = [_iou(b[i], clip.face_boxes[i]) for i in range(0, len(b), 10)]
+    assert float(np.mean(ious)) > 0.8, ious
 
-    def iou(a, c):
-        ix = max(0, min(a[2], c[2]) - max(a[0], c[0]))
-        iy = max(0, min(a[3], c[3]) - max(a[1], c[1]))
-        inter = ix * iy
-        union = ((a[2] - a[0]) * (a[3] - a[1])
-                 + (c[2] - c[0]) * (c[3] - c[1]) - inter)
-        return inter / union
 
-    ious = [iou(b[i], t[i]) for i in range(0, len(b), 10)]
-    assert float(np.mean(ious)) > 0.5, ious
+@pytest.mark.skipif(not CKPT.exists(), reason="no trained checkpoint in repo")
+def test_adversarial_skin_detector_fails_landmarker_passes():
+    """The failure-matrix contrast (docs/DETECTION.md): on skin-colored
+    backgrounds the fixed chroma box balloons to the frame (IoU collapses)
+    while the learned landmarker keeps localizing."""
+    import dataclasses
+    from vhr_tpu.models import facegen
+    from vhr_tpu.models.skin_detector import detect_faces
+
+    gen = dataclasses.replace(
+        facegen.FaceGenConfig(held_out=True, face_prob=1.0),
+        skin_background_prob=1.0, light_gain=(1.0, 1.0), occlusion_prob=0.0)
+    skin_iou = _clip_ious(lambda fr: detect_faces(fr), gen)
+    lmk_iou = _clip_ious(lmk.load_default_detector(), gen)
+    assert skin_iou < 0.5, skin_iou          # chroma box defeated
+    assert lmk_iou >= 0.8, lmk_iou           # learned model robust

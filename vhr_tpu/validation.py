@@ -61,6 +61,10 @@ def validate_green_avg(specs: List[SynthSpec],
 
     from .pipeline import offline
 
+    from .ops import reduce as vreduce
+    from .ops import roi as vroi
+    from .ops import windows as vwin
+
     rows = []
     for spec in specs:
         clip = synthesize(spec)
@@ -68,12 +72,22 @@ def validate_green_avg(specs: List[SynthSpec],
         trace = offline.extract_signals(frames, cfg)
         green = np.asarray(trace.bgr[:, cfg.channel])
 
-        from .ops import windows as vwin
         rolling = vwin.rolling_bpm_fft(
             jnp.asarray(green), clip.fps, cfg.band,
             cfg.window_len(clip.fps), cfg.acquisition_len(clip.fps))
         tpu_bpm = np.asarray(rolling.bpm)
         tpu_valid = np.asarray(rolling.valid)
+
+        # Detector-in-the-loop error: the same rolling estimator fed by the
+        # GROUND-TRUTH face boxes' cheek ROI — any difference is detector-
+        # induced BPM error (ROI placement), not DSP error.
+        H, W = clip.frames.shape[1:3]
+        rois_t = vroi.cheek_roi(jnp.asarray(clip.face_boxes), cfg.roi, W, H)
+        green_t, _ = vreduce.roi_channel_means(frames, rois_t)
+        rolling_t = vwin.rolling_bpm_fft(
+            green_t[:, cfg.channel], clip.fps, cfg.band,
+            cfg.window_len(clip.fps), cfg.acquisition_len(clip.fps))
+        truthroi_bpm = np.asarray(rolling_t.bpm)
 
         ref = cpu_reference_green_avg(green, clip.fps, cfg.window_seconds,
                                       cfg.acquisition_seconds, cfg.band)
@@ -83,12 +97,15 @@ def validate_green_avg(specs: List[SynthSpec],
             [abs(tpu_bpm[i] - clip.bpm_truth[i]) for i in idx]))
         vs_truth_ref = float(np.mean(
             [abs(ref[i] - clip.bpm_truth[i]) for i in idx]))
+        vs_truth_roi = float(np.mean(
+            [abs(tpu_bpm[i] - truthroi_bpm[i]) for i in idx]))
         rows.append({
             "spec": dataclasses.asdict(spec),
             "frames_compared": len(idx),
             "mae_tpu_vs_cpu_reference": vs_ref,
             "mae_tpu_vs_truth": vs_truth_tpu,
             "mae_cpu_reference_vs_truth": vs_truth_ref,
+            "mae_detector_vs_truth_roi": vs_truth_roi,
         })
     return rows
 
@@ -111,11 +128,23 @@ def main() -> int:
         "# VALIDATION — TPU pipeline vs CPU reference pipeline",
         "",
         "Green-channel (green_avg) pipeline on synthetic clips with known",
-        "BPM; both pipelines consume identical per-frame ROI signals",
-        "(BASELINE target: MAE <= 0.5 BPM vs the CPU reference).",
+        "BPM.  Column semantics (what each number does and does NOT prove):",
         "",
-        "| clip | frames | MAE vs CPU ref | TPU vs truth | CPU ref vs truth |",
-        "|---|---|---|---|---|",
+        "- **MAE vs CPU ref** — both pipelines consume IDENTICAL per-frame",
+        "  ROI greens; 0.0000 proves *DSP equivalence* (windowing, FFT, band",
+        "  mask, peak pick) — it says nothing about detection.",
+        "- **det-vs-truth-ROI** — the same estimator fed by the detector's",
+        "  ROI vs the ground-truth face box's ROI: *detector-induced* BPM",
+        "  error in the loop.",
+        "- **vs truth** — absolute accuracy incl. estimator limits; the",
+        "  HR-drift clip's ~2.75 BPM is intrinsic 30 s-window lag (the CPU",
+        "  reference shows the identical error).",
+        "",
+        "(BASELINE target: MAE <= 0.5 BPM vs the CPU reference.)",
+        "",
+        "| clip | frames | MAE vs CPU ref | det-vs-truth-ROI "
+        "| TPU vs truth | CPU ref vs truth |",
+        "|---|---|---|---|---|---|",
     ]
     worst = 0.0
     for r in rows:
@@ -125,6 +154,7 @@ def main() -> int:
         lines.append(
             f"| {label} | {r['frames_compared']} | "
             f"{r['mae_tpu_vs_cpu_reference']:.4f} | "
+            f"{r['mae_detector_vs_truth_roi']:.4f} | "
             f"{r['mae_tpu_vs_truth']:.2f} | "
             f"{r['mae_cpu_reference_vs_truth']:.2f} |")
         worst = max(worst, r["mae_tpu_vs_cpu_reference"])
