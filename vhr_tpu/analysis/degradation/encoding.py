@@ -1,9 +1,10 @@
 """Codec-matrix re-encoding: MJPEG / H.264-class / lossless.
 
 Parity with ``analysis/degradation/encoding.py`` (codec matrix at :7-20).
-Codecs are resolved against what the host OpenCV build actually provides;
-unavailable entries are skipped with a notice (the reference assumed an
-ffmpeg binary).
+With an ffmpeg binary, levels use the reference's exact codec commands
+(mjpeg q31 yuvj444p / libx264 crf28 yuv420p / ffv1 rgb24).  Without one
+(this image), codecs resolve against what the host OpenCV build provides;
+unavailable entries are skipped with a notice.
 """
 
 from __future__ import annotations
@@ -16,11 +17,15 @@ import numpy as np
 from . import common
 from ...io import video as vio
 
-# (label, fourcc, container extension)
+# (label, cv2 fourcc + ext fallback, ffmpeg args + ext) — the ffmpeg halves
+# mirror the reference codec matrix (encoding.py:7-20).
 CODECS = [
-    ("mjpeg", "MJPG", ".avi"),
-    ("h264", "avc1", ".mp4"),
-    ("lossless", "FFV1", ".avi"),
+    ("mjpeg", "MJPG", ".avi",
+     ["-c:v", "mjpeg", "-q:v", "31", "-pix_fmt", "yuvj444p"], ".avi"),
+    ("h264", "avc1", ".mp4",
+     ["-c:v", "libx264", "-crf", "28", "-pix_fmt", "yuv420p"], ".mp4"),
+    ("lossless", "FFV1", ".avi",
+     ["-c:v", "ffv1", "-pix_fmt", "rgb24"], ".mkv"),
 ]
 
 
@@ -51,12 +56,16 @@ def apply(input_path: str) -> Generator[Tuple[str, str], None, None]:
 
     yield str(input_path), "original"
 
-    for label, fourcc, ext in CODECS:
-        out = root / f"{label}{ext}"
+    use_ff = common.have_ffmpeg()
+    for label, fourcc, ext, ff_args, ff_ext in CODECS:
+        out = root / f"{label}{ff_ext if use_ff else ext}"
         if out.exists():
             yield str(out), label
             continue
-        if _reencode(input_path, out, fourcc):
+        if use_ff:
+            common.run_ffmpeg(["-i", str(input_path)] + ff_args + [str(out)])
+            yield str(out), label
+        elif _reencode(input_path, out, fourcc):
             yield str(out), label
         else:
             print(f"[encoding] codec {label} ({fourcc}) unavailable; skipped")

@@ -2,8 +2,9 @@
 
 Parity with ``analysis/degradation/spatial_resolution.py`` (targets at :7,
 below-original only, even-width fixup, original yielded first as control).
-The resample itself is a batched on-device ``jax.image.resize`` instead of an
-ffmpeg subprocess.
+With an ffmpeg binary the rescale is the reference's exact libx264 command
+(:36-47); without one (this image) it is a batched on-device
+``jax.image.resize`` + cv2 write.
 """
 
 from __future__ import annotations
@@ -41,10 +42,17 @@ def apply(input_path: str) -> Generator[Tuple[str, str], None, None]:
 
     for th in [t for t in TARGET_HEIGHTS if t < height]:
         tw = int(round(width * th / height))
-        tw += tw % 2  # even-width fixup (codec requirement)
+        tw -= tw % 2  # even-width fixup, rounding down like the reference
         label = f"{th}p"
         out = root / f"{label}.mp4"
-        op = _resize_op(th, tw)
-        yield common.cached_level(
-            out, label,
-            functools.partial(common.per_frame_device_op, input_path, out, op))
+
+        def gen(o=out, t_h=th, t_w=tw):
+            if common.have_ffmpeg():   # reference spatial_resolution.py:36-47
+                common.run_ffmpeg(["-i", str(input_path), "-c:v", "libx264",
+                                   "-s", f"{t_w}x{t_h}",
+                                   "-pix_fmt", "yuv420p", str(o)])
+            else:
+                common.per_frame_device_op(input_path, o,
+                                           _resize_op(t_h, t_w))
+
+        yield common.cached_level(out, label, gen)

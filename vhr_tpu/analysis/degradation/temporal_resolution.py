@@ -48,5 +48,13 @@ def apply(input_path: str) -> Generator[Tuple[str, str], None, None]:
     for tf in [t for t in TARGET_FPS if t < fps]:
         label = f"{tf}fps"
         out = root / f"{label}.mp4"
-        yield common.cached_level(
-            out, label, lambda o=out, t=tf: _resample(input_path, o, float(t)))
+
+        def gen(o=out, t=tf):
+            if common.have_ffmpeg():   # reference temporal_resolution.py:36-47
+                common.run_ffmpeg(["-i", str(input_path), "-c:v", "libx264",
+                                   "-r", str(t), "-pix_fmt", "yuv420p",
+                                   str(o)])
+            else:
+                _resample(input_path, o, float(t))
+
+        yield common.cached_level(out, label, gen)
