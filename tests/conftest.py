@@ -47,6 +47,7 @@ _SLOW_TESTS = {
     "test_trained_checkpoint_localizes_faces",
     "test_detector_adapter_interface",
     "test_two_bpms_recovered_independently",
+    "test_cascade_multi_detector_in_pipeline",
 }
 
 

@@ -95,3 +95,43 @@ def test_adversarial_skin_detector_fails_landmarker_passes():
     lmk_iou = _clip_ious(lmk.load_default_detector(), gen)
     assert skin_iou < 0.5, skin_iou          # chroma box defeated
     assert lmk_iou >= 0.8, lmk_iou           # learned model robust
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="no trained checkpoint in repo")
+def test_refined_detector_improves_iou():
+    """Crop self-refinement (models/cascade.py) sharpens the full-frame
+    landmarker's box on held-out hard clips (measured 0.890 -> 0.924)."""
+    from vhr_tpu.models import cascade, facegen
+
+    gen = facegen.FaceGenConfig(held_out=True, face_prob=1.0)
+    one = _clip_ious(lmk.load_default_detector(), gen, n_clips=5)
+    two = _clip_ious(cascade.load_default_refined_detector(), gen, n_clips=5)
+    assert two > one, (one, two)
+    assert two >= 0.9, two
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="no trained checkpoint in repo")
+def test_cascade_multi_detector_in_pipeline():
+    """Skin proposals + landmarker refinement through the multi-face
+    pipeline: identities hold and both subjects' BPMs recover."""
+    from vhr_tpu.models import cascade
+    from vhr_tpu.models.landmarker import load_default_detector
+    from vhr_tpu.models.train import TrainConfig
+    from vhr_tpu.pipeline import offline
+    from vhr_tpu.utils.synth import FaceSpec, synthesize_multi
+    from vhr_tpu.config import PipelineConfig
+
+    params = load_default_detector().args[0]
+    det = cascade.make_cascade_detector_multi(params, TrainConfig().model,
+                                              k_faces=2)
+    duo = synthesize_multi(
+        (FaceSpec(center=(0.25, 0.45), bpm=60.0),
+         FaceSpec(center=(0.72, 0.5), bpm=96.0)),
+        height=144, width=256, duration_s=12.0, noise_std=1.0)
+    cfg = PipelineConfig(window_seconds=6.0, acquisition_seconds=3.0)
+    ts, bpm, ok = offline.measure_green_avg_multi(
+        jnp.asarray(duo.frames), duo.fps, 2, cfg, detector=det)
+    steady = slice(cfg.window_len(duo.fps), None)
+    assert ok[steady].all()
+    err = np.abs(bpm[steady] - duo.bpm_truth[None, :])
+    assert float(err.mean()) <= 5.0, bpm[-1]

@@ -147,26 +147,17 @@ def extract_signals_fused(frames: jnp.ndarray,
                        boxes=res.boxes)
 
 
-@functools.partial(jax.jit, static_argnames=("k_faces", "cfg", "det"))
-def extract_signals_multi(frames: jnp.ndarray, k_faces: int = 2,
-                          cfg: PipelineConfig = PipelineConfig(),
-                          det=None) -> SignalTrace:
-    """Multi-subject :func:`extract_signals`: per-face cheek-ROI means.
-
-    Top-``k_faces`` skin regions per frame (``models.multiface``), per-face
-    <=15-frame holdover (the single-face scan vmapped over the face axis),
-    per-face masked ROI reduction.  Exceeds the reference, which requests
-    ``num_faces=2`` but processes only ``face_landmarks[0]``
-    (``rppg_LIVESTREAM.py:308,339``).
-
-    Returns a :class:`SignalTrace` with a leading face axis on every field:
-    ``bgr (T, K, 3)``, ``valid (T, K)``, ``rois/boxes (T, K, 4)``.
-    """
+@functools.partial(jax.jit,
+                   static_argnames=("k_faces", "cfg", "det", "det_fn"))
+def _extract_signals_multi_jit(frames, det_args, k_faces, cfg, det, det_fn):
     from ..models import multiface
 
     T, H, W, _ = frames.shape
-    det = det or skin_detector.SkinDetectorConfig()
-    raw_boxes, raw_valid = multiface.detect_faces_multi(frames, k_faces, det)
+    if det_fn is None:
+        raw_boxes, raw_valid = multiface.detect_faces_multi(frames, k_faces,
+                                                            det)
+    else:
+        raw_boxes, raw_valid = det_fn(*det_args, frames)
 
     track = vroi.holdover_multi(raw_boxes, raw_valid,
                                 cfg.roi.landmark_hold_frames)  # (T, K, ...)
@@ -182,14 +173,44 @@ def extract_signals_multi(frames: jnp.ndarray, k_faces: int = 2,
                        boxes=track.box)
 
 
+def extract_signals_multi(frames: jnp.ndarray, k_faces: int = 2,
+                          cfg: PipelineConfig = PipelineConfig(),
+                          det=None, detector=None) -> SignalTrace:
+    """Multi-subject :func:`extract_signals`: per-face cheek-ROI means.
+
+    Top-``k_faces`` skin regions per frame (``models.multiface``), identity-
+    matched per-face <=15-frame holdover, per-face masked ROI reduction.
+    Exceeds the reference, which requests ``num_faces=2`` but processes only
+    ``face_landmarks[0]`` (``rppg_LIVESTREAM.py:308,339``).
+
+    ``detector`` overrides the detection stage with any callable of the
+    multi-face interface ``frames -> (boxes (T, K, 4), valid (T, K))`` —
+    e.g. ``models.cascade.make_cascade_detector_multi`` (skin proposals
+    refined by the learned landmarker; weights arrive as a traced
+    ``jax.tree_util.Partial``).  ``det`` tunes the default skin detector.
+
+    Returns a :class:`SignalTrace` with a face axis on every field:
+    ``bgr (T, K, 3)``, ``valid (T, K)``, ``rois/boxes (T, K, 4)``.
+    """
+    det = det or skin_detector.SkinDetectorConfig()
+    if detector is None:
+        det_fn, det_args = None, ()
+    elif isinstance(detector, jax.tree_util.Partial):
+        det_fn, det_args = detector.func, tuple(detector.args)
+    else:
+        det_fn, det_args = detector, ()
+    return _extract_signals_multi_jit(frames, det_args, k_faces=k_faces,
+                                      cfg=cfg, det=det, det_fn=det_fn)
+
+
 def measure_green_avg_multi(frames: jnp.ndarray, fps: float,
                             k_faces: int = 2,
                             cfg: PipelineConfig = PipelineConfig(),
-                            det=None
+                            det=None, detector=None
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-face green-channel BPM traces: ``(ts (T,), bpm (T, K), valid
     (T, K))`` — K independent subjects monitored from one clip."""
-    trace = extract_signals_multi(frames, k_faces, cfg, det)
+    trace = extract_signals_multi(frames, k_faces, cfg, det, detector)
     T = frames.shape[0]
     ts = np.arange(T) / fps
     bpm = np.zeros((T, k_faces), np.float32)
