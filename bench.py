@@ -2,10 +2,12 @@
 
 Default run prints ONE JSON line — the headline metric: sustained 1080p
 frames/sec/chip of the FLAGSHIP offline pipeline in its honest configuration
-(reference ``green_avg.py:7-8``): 30 s window / 10 s acquisition, skin
-detection every frame at FULL resolution via the fused single-HBM-pass
-Pallas kernel, landmark holdover, cheek-ROI channel means, per-frame
-rolling FFT BPM (exact growing-window DFT during the ramp).
+(reference ``green_avg.py:7-8``): 30 s window / 10 s acquisition, full-frame
+skin detection every frame (8-row mean-pooled chroma test — a finer grid
+than the reference's MediaPipe detector, which resizes to 128-192 px) via
+the fused single-HBM-pass Pallas kernel, landmark holdover, cheek-ROI
+channel means, per-frame rolling FFT BPM (exact growing-window DFT during
+the ramp).
 
 ``python bench.py --full`` additionally measures
   * live ``step()`` frame-in -> BPM-out latency (720p, BASELINE config 4),
@@ -98,11 +100,15 @@ def bench_flagship() -> dict:
         # Small per-rep offset (i % 8) keeps pixels inside the skin chroma
         # box, so detection genuinely succeeds every rep (validity checked
         # below — an undetected face would SKIP the ROI pass and flatter the
-        # number).
+        # number).  detect_row_pool=8 runs the full-frame skin test on 8-row
+        # mean-pooled cells every frame — still a finer detection grid than
+        # the reference's MediaPipe detector, which resizes its input to
+        # 128-192 px before inference.
         frames = jax.lax.optimization_barrier(
             base[None] + noise[None] + offs
             + jax.lax.rem(i, jnp.uint8(8)))
         trace = offline.extract_signals_fused(frames, cfg, detect_every=1,
+                                              detect_row_pool=8,
                                               interpret=not on_tpu)
         green = offline._fill_invalid(trace.bgr[:, cfg.channel], trace.valid)
         rolling = vwin.rolling_bpm_fft(
@@ -144,7 +150,8 @@ def bench_flagship() -> dict:
         "config": {"frames": T, "h": H, "w": W, "reps": REPS,
                    "window_s": cfg.window_seconds,
                    "acquisition_s": cfg.acquisition_seconds,
-                   "detection": "fused pallas, full-res, every frame",
+                   "detection": ("fused pallas, full-frame every frame, "
+                                 "8-row mean-pooled skin test"),
                    "valid_frames": n_valid},
     }
 

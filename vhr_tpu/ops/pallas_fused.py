@@ -33,6 +33,12 @@ from ..models.skin_detector import SkinDetectorConfig
 __all__ = ["fused_detect_roi_pallas", "fused_detect_roi_carry",
            "init_carry", "FusedResult"]
 
+# HBM->VMEM staging: DMA_DEPTH copies stay in flight (issue chunk g+DEPTH
+# while processing chunk g) across N_SLOTS rotating buffers.  N_SLOTS must
+# exceed DMA_DEPTH so a landing copy never overwrites the chunk being read.
+DMA_DEPTH = 3
+N_SLOTS = 4
+
 
 class FusedResult(NamedTuple):
     means: jnp.ndarray    # (T, 3) float32 cheek-ROI channel means
@@ -46,16 +52,22 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
             state_out, scratch, colacc, sems,
             state, *, rb: int, h: int, w: int, wc: int, n_chunks: int,
             det: SkinDetectorConfig, roi: ROIConfig, min_area: float,
-            detect_every: int):
+            detect_every: int, gate_margin: Optional[float],
+            rescan_every: int, row_pool: int):
     t = pl.program_id(0)
     t0 = t0_ref[0]     # launch's offset into the (possibly longer) clip —
     # long clips run as several launches over ONE HBM array (no per-chunk
     # device copies); only ``t_launch`` frames process per launch.
     do_detect = jax.lax.rem(t0 + t, jnp.int32(detect_every)) == 0
+    n_total = pl.num_programs(0) * n_chunks   # global chunk count (static)
 
-    def get_dma(slot, tt, ii):
-        # Clamp so the last chunk never reads past the frame; both i*rb and
-        # h - rb are multiples of 8 (wrapper contract).
+    def dma_for(g):
+        # Global chunk g = frame g//n_chunks, chunk g%n_chunks.  Clamp so the
+        # last chunk never reads past the frame; both i*rb and h - rb are
+        # multiples of 8 (wrapper contract).
+        tt = g // jnp.int32(n_chunks)
+        ii = g - tt * jnp.int32(n_chunks)
+        slot = jax.lax.rem(g, jnp.int32(N_SLOTS))
         start = pl.multiple_of(jnp.minimum(ii * rb, h - rb), 8)
         return pltpu.make_async_copy(
             in_hbm.at[t0 + tt, pl.ds(start, rb), :],
@@ -68,7 +80,8 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
     # seeded from state_in so long clips chunk over T with carried tracking.
     @pl.when(t == 0)
     def _():
-        get_dma(0, 0, 0).start()
+        for d in range(min(DMA_DEPTH, n_total)):
+            dma_for(jnp.int32(d)).start()
         for j in range(6):
             state[j] = state_in[j]
         colacc[0, :] = jnp.zeros_like(colacc[0, :])  # scratch is uninit
@@ -84,6 +97,23 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
     ry1 = by1 + jnp.floor(roi.cheek_top * bh).astype(jnp.int32)
     ry2 = by1 + jnp.floor(roi.cheek_bottom * bh).astype(jnp.int32)
 
+    # Spatial gate for the skin test: on tracked frames, only row chunks in
+    # a ``gate_margin``-expanded band around the carried box pay the VPU mask
+    # math.  Full-frame scans happen (a) every ``rescan_every``-th detection
+    # frame, (b) while nothing is tracked, and (c) once the holdover budget
+    # drains (the face left the band) — so reacquisition latency is bounded
+    # by the reference's own <=15-frame tolerance (roi.py:91-95).
+    if gate_margin is None:
+        gy1, gy2 = jnp.int32(0), jnp.int32(h)
+    else:
+        periodic = jax.lax.rem(
+            t0 + t, jnp.int32(detect_every * rescan_every)) == 0
+        full_scan = jnp.logical_or(
+            periodic, jnp.logical_or(~has_prev, state[4] <= 0))
+        marg = jnp.ceil(jnp.float32(gate_margin) * bh).astype(jnp.int32)
+        gy1 = jnp.where(full_scan, 0, jnp.maximum(by1 - marg, 0))
+        gy2 = jnp.where(full_scan, h, jnp.minimum(by2 + 1 + marg, h))
+
     # Lane-indexed constants (chunk-invariant).
     lane = jax.lax.broadcasted_iota(jnp.int32, (rb, wc), 1)
     col = lane // 3
@@ -92,23 +122,19 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
 
     def body(i, acc):
         # Slots index by the GLOBAL chunk counter so cross-frame prefetch
-        # lands in the slot the next frame's first wait expects.
+        # lands in the slot the matching wait expects.  The pipeline keeps
+        # DMA_DEPTH copies in flight (issue g+DEPTH, wait g): the per-chunk
+        # HBM fetch latency amortizes instead of serializing — with the
+        # 2-slot double buffer the floor was DMA-latency-bound (measured
+        # 55 us/frame at 1080p vs ~8 us of pure HBM throughput).
         g = t * n_chunks + i
-        slot = jax.lax.rem(g, jnp.int32(2))
-        nslot = jax.lax.rem(g + 1, jnp.int32(2))
-        nxt = i + 1
+        slot = jax.lax.rem(g, jnp.int32(N_SLOTS))
 
-        @pl.when(nxt < n_chunks)
+        @pl.when(g + DMA_DEPTH < n_total)
         def _():
-            get_dma(nslot, t, nxt).start()
+            dma_for(g + DMA_DEPTH).start()
 
-        @pl.when(jnp.logical_and(nxt >= n_chunks,
-                                 t + 1 < pl.num_programs(0)))
-        def _():
-            get_dma(nslot, t + 1, 0).start()
-
-        get_dma(slot, t, i).wait()
-        vals = scratch[slot].astype(jnp.int32).astype(jnp.float32)
+        dma_for(g).wait()
 
         row0 = i * rb                      # unclamped chunk origin
         start = jnp.minimum(row0, h - rb)  # clamped DMA origin
@@ -118,40 +144,62 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
         in_frame = rows >= row0
 
         # --- skin mask (YCbCr box test) on this chunk -------------------
-        # Runs only on detection frames (t % detect_every == 0): the box is
-        # tracked between detections — the VPU mask math is the kernel's
-        # dominant cost at full resolution.
-        def detect_branch(vals, in_frame):
-            # Channels are interleaved: shift lanes to align b/g/r.
-            b_ = vals * jnp.where(ch == 0, 1.0, 0.0)
-            g_ = vals * jnp.where(ch == 1, 1.0, 0.0)
-            r_ = vals * jnp.where(ch == 2, 1.0, 0.0)
-            g0 = pltpu.roll(g_, wc - 1, 1)   # left-shift by 1 (shift >= 0)
-            r0 = pltpu.roll(r_, wc - 2, 1)   # left-shift by 2
-            bb, gg, rr = b_, g0, r0          # valid at lanes where ch == 0
+        # Runs only on detection frames (t % detect_every == 0) and, when
+        # gated, only on chunks intersecting the [gy1, gy2) band: the VPU
+        # mask math is the kernel's dominant cost at full resolution.  The
+        # u8->f32 conversion happens *inside* each branch so fully skipped
+        # chunks pay DMA only.  ``row_pool > 1`` mean-pools that many
+        # adjacent rows before the chroma test (the fused counterpart of
+        # ``SkinDetectorConfig.downsample`` / ``pool_mode='mean'``): the
+        # ~30-op/lane mask math runs on 1/pool of the lanes, at the price of
+        # ``row_pool``-row box-edge quantization.
+        def detect_branch(in_frame):
+            rbp = rb // row_pool
+            if row_pool > 1:
+                vi = scratch[slot].astype(jnp.int32)
+                vals = (jnp.sum(vi.reshape(rbp, row_pool, wc), axis=1)
+                        .astype(jnp.float32) * (1.0 / row_pool))
+                lane_p = jax.lax.broadcasted_iota(jnp.int32, (rbp, wc), 1)
+                ch_p = lane_p - (lane_p // 3) * 3
+                # start and row0 are both multiples of 8 (hence of row_pool),
+                # so pooled cells never straddle the clamped-overlap boundary.
+                rows_p = (jax.lax.broadcasted_iota(jnp.int32, (rbp, wc), 0)
+                          * row_pool + start)
+                in_f = rows_p >= row0
+            else:
+                vals = scratch[slot].astype(jnp.int32).astype(jnp.float32)
+                ch_p, in_f = ch, in_frame
+            # Channels are interleaved: shift lanes to align b/g/r.  Lanes
+            # with ch != 0 compute garbage and are masked out below.
+            bb = vals
+            gg = pltpu.roll(vals, wc - 1, 1)   # left-shift by 1 (shift >= 0)
+            rr = pltpu.roll(vals, wc - 2, 1)   # left-shift by 2
             y = 0.299 * rr + 0.587 * gg + 0.114 * bb
             cb = 128.0 - 0.168736 * rr - 0.331264 * gg + 0.5 * bb
             cr = 128.0 + 0.5 * rr - 0.418688 * gg - 0.081312 * bb
             skin = ((cb >= det.cb_min) & (cb <= det.cb_max) &
                     (cr >= det.cr_min) & (cr <= det.cr_max) &
-                    (y >= det.y_min) & (ch == 0) & in_frame)
+                    (y >= det.y_min) & (ch_p == 0) & in_f)
             skin_f = skin.astype(jnp.float32)
             colinc = jnp.sum(skin_f, axis=0)
-            rowsum = jnp.sum(skin_f, axis=1)                # (rb,)
+            rowsum = jnp.sum(skin_f, axis=1)                # (rbp,)
             # >=2-pixel row threshold stands in for mask smoothing.
-            ridx = (jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)[:, 0]
-                    + start)
+            ridx = (jax.lax.broadcasted_iota(jnp.int32, (rbp, 1), 0)[:, 0]
+                    * row_pool + start)
             has_row = rowsum >= 2.0
             rmin = jnp.min(jnp.where(has_row, ridx, h))
-            rmax = jnp.max(jnp.where(has_row, ridx, -1))
-            return colinc, jnp.sum(skin_f), rmin, rmax
+            rmax = jnp.max(jnp.where(has_row, ridx + (row_pool - 1), -1))
+            return colinc, jnp.sum(skin_f) * row_pool, rmin, rmax
 
-        def skip_branch(vals, in_frame):
+        def skip_branch(in_frame):
             return (jnp.zeros((wc,), jnp.float32), jnp.float32(0.0),
                     jnp.int32(h), jnp.int32(-1))
 
+        chunk_detect = jnp.logical_and(
+            do_detect,
+            jnp.logical_and(start < gy2, start + rb > gy1))
         colinc, a_inc, rmin, rmax = jax.lax.cond(
-            do_detect, detect_branch, skip_branch, vals, in_frame)
+            chunk_detect, detect_branch, skip_branch, in_frame)
         colacc[0, :] = colacc[0, :] + colinc
         area, cur_rmin, cur_rmax, a0, a1, a2 = acc
         area = area + a_inc
@@ -160,7 +208,8 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
 
         # --- ROI channel sums under the carried box ---------------------
         # Chunks with no ROI rows skip the masked reduction entirely.
-        def roi_branch(vals, rows, in_frame):
+        def roi_branch(rows, in_frame):
+            vals = scratch[slot].astype(jnp.int32).astype(jnp.float32)
             row_in_roi = jnp.logical_and(rows >= ry1, rows < ry2)
             sel = jnp.logical_and(jnp.logical_and(row_in_roi, col_in_roi),
                                   in_frame)
@@ -170,13 +219,13 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
             s2 = jnp.sum(jnp.where(ch == 2, selv, 0.0))
             return s0, s1, s2
 
-        def roi_skip(vals, rows, in_frame):
+        def roi_skip(rows, in_frame):
             z = jnp.float32(0.0)
             return z, z, z
 
         intersects = jnp.logical_and(start < ry2, start + rb > ry1)
         s0, s1, s2 = jax.lax.cond(intersects, roi_branch, roi_skip,
-                                  vals, rows, in_frame)
+                                  rows, in_frame)
         return (area, cur_rmin, cur_rmax, a0 + s0, a1 + s1, a2 + s2)
 
     init = (jnp.float32(0.0), jnp.int32(h), jnp.int32(-1),
@@ -188,7 +237,9 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
     colv = colacc[0, :]
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, wc), 1)[0]
     col1 = lane1 // 3
-    occ = colv >= 2.0   # smoothing stand-in, see row threshold above
+    # Smoothing stand-in, see row threshold above; colv counts pooled cells,
+    # so the 2-pixel threshold scales by the pool factor.
+    occ = colv >= 2.0 / row_pool
     xmin = jnp.min(jnp.where(occ, col1, w))
     xmax = jnp.max(jnp.where(occ, col1, -1))
     colacc[0, :] = jnp.zeros((wc,), jnp.float32)
@@ -238,12 +289,19 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
                            roi: ROIConfig = ROIConfig(),
                            row_block: int = 128,
                            detect_every: int = 1,
+                           gate_margin: Optional[float] = None,
+                           rescan_every: int = 30,
+                           detect_row_pool: int = 1,
                            interpret: bool = False,
                            t_start: int = 0,
                            t_len: Optional[int] = None
                            ) -> Tuple[FusedResult, jnp.ndarray]:
     """One kernel launch over frames ``[t_start, t_start + t_len)`` with
     explicit tracking carry.
+
+    ``gate_margin`` (fraction of the tracked box height) spatially gates the
+    skin test to a band around the carried box; see
+    :func:`fused_detect_roi_pallas`.
 
     ``carry`` is the ``(6,) int32`` SMEM tracking state
     ``[x1, y1, x2, y2, hold_budget, has_last]`` (:func:`init_carry` for a
@@ -264,10 +322,16 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
     rb = max(8, min(row_block, H) // 8 * 8)
     n_chunks = -(-H // rb)
     min_area = det.min_area_fraction * H * W
+    if detect_row_pool not in (1, 2, 4, 8):
+        raise ValueError("detect_row_pool must be 1, 2, 4 or 8 (must divide "
+                         "the 8-row DMA alignment)")
 
     kernel = functools.partial(_kernel, rb=rb, h=H, w=W, wc=wc,
                                n_chunks=n_chunks, det=det, roi=roi,
-                               min_area=min_area, detect_every=detect_every)
+                               min_area=min_area, detect_every=detect_every,
+                               gate_margin=gate_margin,
+                               rescan_every=rescan_every,
+                               row_pool=detect_row_pool)
 
     flat = frames.reshape(T, H, wc)
     t0 = jnp.asarray([t_start], jnp.int32)
@@ -286,9 +350,9 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
                    jax.ShapeDtypeStruct((t_len, 2), jnp.int32),
                    jax.ShapeDtypeStruct((6,), jnp.int32)),
         scratch_shapes=[
-            pltpu.VMEM((2, rb, wc), jnp.uint8),
+            pltpu.VMEM((N_SLOTS, rb, wc), jnp.uint8),
             pltpu.VMEM((8, wc), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((N_SLOTS,)),
             pltpu.SMEM((6,), jnp.int32),
         ],
         interpret=interpret,
@@ -310,6 +374,9 @@ def fused_detect_roi_pallas(frames: jnp.ndarray,
                             roi: ROIConfig = ROIConfig(),
                             row_block: int = 128,
                             detect_every: int = 1,
+                            gate_margin: Optional[float] = None,
+                            rescan_every: int = 30,
+                            detect_row_pool: int = 1,
                             interpret: bool = False,
                             t_block: int = 256) -> FusedResult:
     """One HBM pass per frame: skin box detection + cheek-ROI means.
@@ -321,6 +388,21 @@ def fused_detect_roi_pallas(frames: jnp.ndarray,
     VPU cost at full resolution).  Requires ``H % 8 == 0`` and
     ``W*3 % 128 == 0``.
 
+    ``gate_margin`` (e.g. 0.5, in fractions of the tracked box height)
+    spatially gates the skin test: tracked frames test only row chunks in a
+    margin-expanded band around the carried box, while full-frame scans run
+    every ``rescan_every``-th detection frame, whenever nothing is tracked,
+    and once the holdover budget drains — so a face that jumps out of the
+    band reacquires within the reference's own <=15-frame holdover tolerance
+    (``analysis/utils/roi.py:91-95``).  ``None`` (default) disables gating
+    (every detection frame scans the full frame).
+
+    ``detect_row_pool=p`` mean-pools ``p`` adjacent rows before the chroma
+    test (the fused counterpart of ``SkinDetectorConfig.downsample`` with
+    ``pool_mode='mean'``): the dominant VPU mask math runs on ``1/p`` of the
+    lanes at the price of ``p``-row box-edge quantization (<=4 rows of a
+    1080p frame at p=4 — well under the cheek-ROI ratios' sensitivity).
+
     Long clips launch in ``t_block``-frame chunks with the tracking state
     carried between launches (Mosaic allocates the per-frame SMEM outputs
     for the whole launch, so a single huge-``T`` launch exhausts the ~1 MB
@@ -329,6 +411,9 @@ def fused_detect_roi_pallas(frames: jnp.ndarray,
     T = frames.shape[0]
     run = functools.partial(fused_detect_roi_carry, det=det, roi=roi,
                             row_block=row_block, detect_every=detect_every,
+                            gate_margin=gate_margin,
+                            rescan_every=rescan_every,
+                            detect_row_pool=detect_row_pool,
                             interpret=interpret)
     if T <= t_block:
         res, _ = run(frames, init_carry())

@@ -120,12 +120,19 @@ def extract_signals_fused(frames: jnp.ndarray,
                           cfg: PipelineConfig = PipelineConfig(),
                           det: Optional[skin_detector.SkinDetectorConfig] = None,
                           detect_every: int = 1,
+                          gate_margin: Optional[float] = None,
+                          rescan_every: int = 30,
+                          detect_row_pool: int = 1,
                           interpret: Optional[bool] = None) -> SignalTrace:
     """:func:`extract_signals` on the fused detect+reduce Pallas kernel.
 
     One HBM read per frame (vs two for detect-then-reduce); each frame's ROI
     uses the box tracked from *previous* frames — a one-frame lag inside the
     reference's own holdover tolerance (``analysis/utils/roi.py:91-95``).
+    ``gate_margin`` spatially gates the skin test to a band around the
+    tracked box (full rescans every ``rescan_every`` detection frames, on
+    track loss, and on holdover-budget drain) — see
+    :func:`vhr_tpu.ops.pallas_fused.fused_detect_roi_pallas`.
     ``interpret`` defaults to True off-TPU so the same code tests on CPU.
     """
     from ..ops.pallas_fused import fused_detect_roi_pallas
@@ -136,6 +143,9 @@ def extract_signals_fused(frames: jnp.ndarray,
     det = det or skin_detector.SkinDetectorConfig()
     res = fused_detect_roi_pallas(frames, det=det, roi=cfg.roi,
                                   detect_every=detect_every,
+                                  gate_margin=gate_margin,
+                                  rescan_every=rescan_every,
+                                  detect_row_pool=detect_row_pool,
                                   interpret=interpret)
     # The ROI that produced means[t] is the cheek rect of the box tracked
     # *before* frame t's update — i.e. boxes[t-1] (zeros at t=0).
