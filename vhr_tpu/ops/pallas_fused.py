@@ -48,17 +48,21 @@ class FusedResult(NamedTuple):
     roi_valid: jnp.ndarray  # (T,) bool tracked-box validity used for the ROI
 
 
-def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
-            state_out, scratch, colacc, sems,
+def _kernel(in_hbm, t0_ref, phase_ref, state_in, means_ref, box_ref,
+            flags_ref, state_out, scratch, colacc, sems,
             state, *, rb: int, h: int, w: int, wc: int, n_chunks: int,
             det: SkinDetectorConfig, roi: ROIConfig, min_area: float,
             detect_every: int, gate_margin: Optional[float],
-            rescan_every: int, row_pool: int):
+            rescan_every: int, row_pool: int, seq_len: Optional[int]):
     t = pl.program_id(0)
     t0 = t0_ref[0]     # launch's offset into the (possibly longer) clip —
     # long clips run as several launches over ONE HBM array (no per-chunk
     # device copies); only ``t_launch`` frames process per launch.
-    do_detect = jax.lax.rem(t0 + t, jnp.int32(detect_every)) == 0
+    # phase = this frame's GLOBAL index for detect_every / rescan_every /
+    # seq_len cadence; usually == t0, but a T=1 live launch passes its frame
+    # counter here while indexing the single-frame HBM array at t0=0.
+    phase = phase_ref[0] + t
+    do_detect = jax.lax.rem(phase, jnp.int32(detect_every)) == 0
     n_total = pl.num_programs(0) * n_chunks   # global chunk count (static)
 
     def dma_for(g):
@@ -87,9 +91,16 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
         colacc[0, :] = jnp.zeros_like(colacc[0, :])  # scratch is uninit
 
     # Tracked box from previous frames decides this frame's ROI (cheek
-    # sub-rectangle of the carried face box).
+    # sub-rectangle of the carried face box).  With ``seq_len`` set, the
+    # flat time axis is a concatenation of independent streams: tracking
+    # state never crosses a stream boundary (the first frame of each stream
+    # sees no carried box, exactly like frame 0 of a single clip).
     bx1, by1, bx2, by2 = state[0], state[1], state[2], state[3]
     has_prev = state[5] > 0
+    if seq_len is not None:
+        fresh = jax.lax.rem(phase, jnp.int32(seq_len)) == 0
+        has_prev = jnp.logical_and(has_prev, ~fresh)
+        do_detect = jnp.logical_or(do_detect, fresh)   # acquire immediately
     bw = (bx2 - bx1).astype(jnp.float32)
     bh = (by2 - by1).astype(jnp.float32)
     rx1 = bx1 + jnp.floor(roi.cheek_horizontal * bw).astype(jnp.int32)
@@ -107,7 +118,7 @@ def _kernel(in_hbm, t0_ref, state_in, means_ref, box_ref, flags_ref,
         gy1, gy2 = jnp.int32(0), jnp.int32(h)
     else:
         periodic = jax.lax.rem(
-            t0 + t, jnp.int32(detect_every * rescan_every)) == 0
+            phase, jnp.int32(detect_every * rescan_every)) == 0
         full_scan = jnp.logical_or(
             periodic, jnp.logical_or(~has_prev, state[4] <= 0))
         marg = jnp.ceil(jnp.float32(gate_margin) * bh).astype(jnp.int32)
@@ -292,9 +303,11 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
                            gate_margin: Optional[float] = None,
                            rescan_every: int = 30,
                            detect_row_pool: int = 1,
+                           seq_len: Optional[int] = None,
                            interpret: bool = False,
                            t_start: int = 0,
-                           t_len: Optional[int] = None
+                           t_len: Optional[int] = None,
+                           phase=None
                            ) -> Tuple[FusedResult, jnp.ndarray]:
     """One kernel launch over frames ``[t_start, t_start + t_len)`` with
     explicit tracking carry.
@@ -313,9 +326,12 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
     """
     T, H, W, C = frames.shape
     assert C == 3
+    static_start = isinstance(t_start, (int, np.integer))
     if t_len is None:
+        assert static_start, "t_len is required when t_start is traced"
         t_len = T - t_start
-    assert 0 <= t_start and t_start + t_len <= T
+    if static_start:
+        assert 0 <= t_start and t_start + t_len <= T
     wc = W * C
     if H % 8 != 0 or wc % 128 != 0:
         raise ValueError("fused kernel needs H % 8 == 0 and W*3 % 128 == 0")
@@ -331,14 +347,20 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
                                min_area=min_area, detect_every=detect_every,
                                gate_margin=gate_margin,
                                rescan_every=rescan_every,
-                               row_pool=detect_row_pool)
+                               row_pool=detect_row_pool, seq_len=seq_len)
 
     flat = frames.reshape(T, H, wc)
-    t0 = jnp.asarray([t_start], jnp.int32)
+    t0 = jnp.reshape(jnp.asarray(t_start, jnp.int32), (1,))
+    # ``phase`` is the first frame's GLOBAL index for the detect_every /
+    # rescan_every / seq_len cadences — it may be a traced scalar (e.g. the
+    # live driver's frame counter, while t_start stays 0 into a T=1 array).
+    ph = t0 if phase is None else jnp.reshape(
+        jnp.asarray(phase, jnp.int32), (1,))
     means, boxes, flags, carry_out = pl.pallas_call(
         kernel,
         grid=(t_len,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -356,7 +378,7 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
             pltpu.SMEM((6,), jnp.int32),
         ],
         interpret=interpret,
-    )(flat, t0, carry.astype(jnp.int32))
+    )(flat, t0, ph, carry.astype(jnp.int32))
 
     res = FusedResult(means=means[:, :3], count=means[:, 3],
                       boxes=boxes, det_valid=flags[:, 0] > 0,
@@ -377,6 +399,7 @@ def fused_detect_roi_pallas(frames: jnp.ndarray,
                             gate_margin: Optional[float] = None,
                             rescan_every: int = 30,
                             detect_row_pool: int = 1,
+                            seq_len: Optional[int] = None,
                             interpret: bool = False,
                             t_block: int = 256) -> FusedResult:
     """One HBM pass per frame: skin box detection + cheek-ROI means.
@@ -403,6 +426,12 @@ def fused_detect_roi_pallas(frames: jnp.ndarray,
     lanes at the price of ``p``-row box-edge quantization (<=4 rows of a
     1080p frame at p=4 — well under the cheek-ROI ratios' sensitivity).
 
+    ``seq_len=T`` treats the flat time axis as a concatenation of
+    independent ``T``-frame streams (``(S, T, H, W, 3).reshape(S*T, ...)``):
+    tracking state resets at every stream boundary and the first frame of
+    each stream always detects — the multistream monitoring layout
+    (``vhr_tpu.parallel.streams``) on one kernel launch.
+
     Long clips launch in ``t_block``-frame chunks with the tracking state
     carried between launches (Mosaic allocates the per-frame SMEM outputs
     for the whole launch, so a single huge-``T`` launch exhausts the ~1 MB
@@ -414,7 +443,7 @@ def fused_detect_roi_pallas(frames: jnp.ndarray,
                             gate_margin=gate_margin,
                             rescan_every=rescan_every,
                             detect_row_pool=detect_row_pool,
-                            interpret=interpret)
+                            seq_len=seq_len, interpret=interpret)
     if T <= t_block:
         res, _ = run(frames, init_carry())
         return res

@@ -52,11 +52,50 @@ def _single_stream(frames, fps: float, cfg: PipelineConfig,
     return jax.vmap(one)(frames)
 
 
+def _ffill(x, ok):
+    """Carry the last valid sample forward over dropouts (per stream)."""
+    def step(c, inp):
+        v, o = inp
+        n = jnp.where(o, v, c)
+        return n, n
+    _, filled = jax.lax.scan(step, jnp.zeros_like(x[0]), (x, ok))
+    return filled
+
+
+def _single_stream_fused(frames, fps: float, cfg: PipelineConfig,
+                         det: skin_detector.SkinDetectorConfig,
+                         detect_row_pool: int, gate_margin,
+                         interpret: bool):
+    """Fused-kernel shard body: one ``(S_local*T,)`` kernel launch covers
+    every stream in the shard (``seq_len=T`` resets tracking at stream
+    boundaries), replacing the detector pass + masked ROI reduction with a
+    single HBM read per frame.  ``det.downsample`` is ignored here —
+    ``detect_row_pool`` is the fused kernel's resolution knob."""
+    from ..ops.pallas_fused import fused_detect_roi_pallas
+
+    S, T, H, W, _ = frames.shape
+    res = fused_detect_roi_pallas(
+        frames.reshape(S * T, H, W, 3), det=det, roi=cfg.roi, seq_len=T,
+        detect_row_pool=detect_row_pool, gate_margin=gate_margin,
+        interpret=interpret)
+    means = res.means.reshape(S, T, 3)
+    valid = res.roi_valid.reshape(S, T)
+    green = jax.vmap(_ffill)(means[..., cfg.channel], valid)
+    rolling = jax.vmap(functools.partial(
+        vwin.rolling_bpm_fft, fps=fps, band=cfg.band,
+        window_len=cfg.window_len(fps),
+        acquisition_len=cfg.acquisition_len(fps)))(green)
+    ok = jnp.logical_and(rolling.valid, valid)
+    return rolling.bpm, ok, green
+
+
 def multistream_green_bpm(frames: jnp.ndarray, fps: float,
                           mesh: Mesh,
                           cfg: PipelineConfig = PipelineConfig(),
-                          det: skin_detector.SkinDetectorConfig = None
-                          ) -> MultiStreamResult:
+                          det: skin_detector.SkinDetectorConfig = None,
+                          use_fused: bool = False,
+                          detect_row_pool: int = 1,
+                          gate_margin=None) -> MultiStreamResult:
     """Run the green-channel pipeline for ``(streams, T, H, W, 3)`` frames
     sharded over the mesh's ``stream`` axis.
 
@@ -64,9 +103,21 @@ def multistream_green_bpm(frames: jnp.ndarray, fps: float,
     embarrassingly-parallel layout; ``shard_map`` keeps XLA from gathering
     the video tensor anywhere.  ``det`` tunes detection (e.g.
     ``downsample=4`` strided sampling for many-stream 720p monitoring).
+
+    ``use_fused=True`` runs each shard through the single-HBM-pass Pallas
+    kernel instead (one launch per shard covering all its streams via
+    ``seq_len``); ``detect_row_pool`` / ``gate_margin`` are its resolution
+    and gating knobs (``vhr_tpu.ops.pallas_fused``).  Requires
+    ``H % 8 == 0`` and ``W*3 % 128 == 0``.
     """
     det = det or skin_detector.SkinDetectorConfig()
-    fn = functools.partial(_single_stream, fps=fps, cfg=cfg, det=det)
+    if use_fused:
+        fn = functools.partial(
+            _single_stream_fused, fps=fps, cfg=cfg, det=det,
+            detect_row_pool=detect_row_pool, gate_margin=gate_margin,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        fn = functools.partial(_single_stream, fps=fps, cfg=cfg, det=det)
     spec = P("stream")
     mapped = shard_map(
         fn, mesh=mesh,

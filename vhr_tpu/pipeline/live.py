@@ -39,6 +39,14 @@ class LiveConfig:
     welch_segment_seconds: float = 9.0          # :146
     roi: ROIConfig = ROIConfig()
     fps: float = 30.0
+    # Fused-kernel detection (vhr_tpu.ops.pallas_fused): one HBM pass per
+    # frame with the ROI from the box tracked on *previous* frames — a
+    # one-frame lag inside the reference's holdover tolerance.  Requires
+    # H % 8 == 0 and W*3 % 128 == 0.  detect_row_pool / gate_margin are the
+    # kernel's resolution and spatial-gating knobs.
+    use_fused: bool = False
+    detect_row_pool: int = 1
+    gate_margin: Optional[float] = None
 
 
 class LiveState(NamedTuple):
@@ -140,23 +148,47 @@ def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig
     H, W, _ = frame.shape
     sos = _sos(cfg)
 
-    boxes, det_valid = skin_detector.detect_faces(frame[None])
-    box, v = boxes[0], det_valid[0]
+    if cfg.use_fused:
+        # Single-HBM-pass kernel: detection + ROI reduction in one read; the
+        # tracking carry IS the LiveState's holdover fields.  The ROI comes
+        # from the box tracked on previous frames (one-frame lag) and the
+        # cadence phase rides on ``count`` (valid-sample counter) — gating's
+        # track-loss/budget full scans do not depend on it.
+        from ..ops.pallas_fused import fused_detect_roi_carry
 
-    # Landmark holdover, single-step (analysis/utils/roi.py:91-101 rule).
-    new_last = jnp.where(v, box, state.last_box)
-    new_has = jnp.logical_or(v, state.has_last)
-    reuse_ok = jnp.logical_and(~v, jnp.logical_and(state.has_last,
-                                                   state.hold_budget > 0))
-    new_budget = jnp.where(v, cfg.roi.landmark_hold_frames,
-                           jnp.where(reuse_ok, state.hold_budget - 1,
-                                     state.hold_budget))
-    face_valid = jnp.logical_or(v, reuse_ok)
+        carry = jnp.concatenate([
+            state.last_box.astype(jnp.int32),
+            jnp.stack([state.hold_budget.astype(jnp.int32),
+                       state.has_last.astype(jnp.int32)])])
+        res, carry_out = fused_detect_roi_carry(
+            frame[None], carry, roi=cfg.roi,
+            detect_row_pool=cfg.detect_row_pool,
+            gate_margin=cfg.gate_margin,
+            interpret=jax.default_backend() != "tpu",
+            t_len=1, phase=state.count)
+        green = res.means[0, 1]
+        face_valid = res.roi_valid[0]
+        new_last = carry_out[0:4]
+        new_budget = carry_out[4]
+        new_has = carry_out[5] > 0
+    else:
+        boxes, det_valid = skin_detector.detect_faces(frame[None])
+        box, v = boxes[0], det_valid[0]
 
-    roi = vroi.cheek_roi(new_last[None], cfg.roi, W, H)[0]
-    roi = jnp.where(face_valid, roi, 0)
-    means, _ = vreduce.roi_channel_means(frame[None], roi[None])
-    green = means[0, 1]
+        # Landmark holdover, single-step (analysis/utils/roi.py:91-101 rule).
+        new_last = jnp.where(v, box, state.last_box)
+        new_has = jnp.logical_or(v, state.has_last)
+        reuse_ok = jnp.logical_and(~v, jnp.logical_and(state.has_last,
+                                                       state.hold_budget > 0))
+        new_budget = jnp.where(v, cfg.roi.landmark_hold_frames,
+                               jnp.where(reuse_ok, state.hold_budget - 1,
+                                         state.hold_budget))
+        face_valid = jnp.logical_or(v, reuse_ok)
+
+        roi = vroi.cheek_roi(new_last[None], cfg.roi, W, H)[0]
+        roi = jnp.where(face_valid, roi, 0)
+        means, _ = vreduce.roi_channel_means(frame[None], roi[None])
+        green = means[0, 1]
 
     # Causal streaming SOS push (rppg_LIVESTREAM.py:245-251).
     filt, zi = filters.sos_stream_push(sos, state.zi, green)
