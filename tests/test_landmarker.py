@@ -135,3 +135,28 @@ def test_cascade_multi_detector_in_pipeline():
     assert ok[steady].all()
     err = np.abs(bpm[steady] - duo.bpm_truth[None, :])
     assert float(err.mean()) <= 5.0, bpm[-1]
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="no trained checkpoint in repo")
+def test_roi_detector_pose_robust_pipeline():
+    """make_roi_detector + extract_signals_landmark_roi: the checkpoint's
+    landmark cloud yields a cheek ROI inside the true face box, and the
+    trace's means come from it."""
+    from vhr_tpu.models.train import TrainConfig
+    from vhr_tpu.pipeline import offline
+
+    params = lmk.load_default_detector().args[0]
+    det = lmk.make_roi_detector(params, TrainConfig().model)
+    clip = synthesize(SynthSpec(duration_s=2.0, height=96, width=120))
+    trace = offline.extract_signals_landmark_roi(jnp.asarray(clip.frames),
+                                                 det)
+    assert bool(np.asarray(trace.valid).all())
+    rois = np.asarray(trace.rois)
+    truth = clip.face_boxes
+    # Every ROI sits inside a slightly padded true face box.
+    pad = 6
+    assert (rois[:, 0] >= truth[:, 0] - pad).all()
+    assert (rois[:, 1] >= truth[:, 1] - pad).all()
+    assert (rois[:, 2] <= truth[:, 2] + pad).all()
+    assert (rois[:, 3] <= truth[:, 3] + pad).all()
+    assert (rois[:, 2] > rois[:, 0]).all() and (rois[:, 3] > rois[:, 1]).all()

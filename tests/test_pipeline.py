@@ -204,3 +204,34 @@ def test_learned_detector_params_are_traced(clip):
     trace = offline.extract_signals(jnp.asarray(clip.frames[:8]),
                                     detector=det)
     assert trace.bgr.shape == (8, 3)
+
+
+def test_extract_signals_landmark_roi_wiring(clip):
+    """extract_signals_landmark_roi: the detector-supplied ROI rect rides
+    the holdover scan and feeds the masked reduction."""
+    import jax
+
+    from vhr_tpu.ops import reduce as vreduce
+    from vhr_tpu.ops import roi as vroi
+
+    frames = jnp.asarray(clip.frames[:60])
+    T, H, W, _ = frames.shape
+    boxes = jnp.asarray(clip.face_boxes[:60])
+    # Synthetic "landmark" ROIs: the true cheek rect, with a 10-frame dropout.
+    rois = vroi.cheek_roi(boxes, PipelineConfig().roi, W, H)
+    valid = np.ones(T, bool)
+    valid[20:30] = False
+    valid_j = jnp.asarray(valid)
+
+    def fake_det(b, r, v, fr):
+        return b, r, v
+
+    det = jax.tree_util.Partial(fake_det, boxes, rois, valid_j)
+    trace = offline.extract_signals_landmark_roi(frames, det)
+    assert bool(np.asarray(trace.valid).all())       # holdover spans dropout
+    # During the dropout the ROI must be frame 19's (held), not frame t's.
+    np.testing.assert_array_equal(np.asarray(trace.rois)[20:30],
+                                  np.tile(np.asarray(rois)[19], (10, 1)))
+    m_ref, _ = vreduce.roi_channel_means(frames, trace.rois)
+    np.testing.assert_allclose(np.asarray(trace.bgr), np.asarray(m_ref),
+                               rtol=1e-6)

@@ -165,3 +165,51 @@ def test_video_stats_match_reference_math():
                                    np.var(gray), rtol=1e-4)
         np.testing.assert_allclose(float(stats.nsr[t]),
                                    np.std(gray) / np.mean(gray), rtol=1e-5)
+
+
+def _ellipse_cloud(cx, cy, rx, ry, angle_rad, L=68):
+    """Rotated-ellipse boundary cloud, normalized coords (facegen layout)."""
+    theta = 2.0 * np.pi * np.arange(L) / L
+    ex, ey = rx * np.cos(theta), ry * np.sin(theta)
+    ca, sa = np.cos(angle_rad), np.sin(angle_rad)
+    return np.stack([cx + ex * ca - ey * sa,
+                     cy + ex * sa + ey * ca], axis=-1).astype(np.float32)
+
+
+def test_roi_from_landmarks_upright_matches_bbox_ratios():
+    """For an upright face the landmark-frame ROI reduces to the reference's
+    bbox-interior ratios (rppg_VIDEO.py:93-103) up to rounding."""
+    from vhr_tpu.config import ROIConfig
+    W, H = 640, 480
+    cfg = ROIConfig()
+    lm = jnp.asarray(_ellipse_cloud(0.5, 0.45, 0.2, 0.3, 0.0))[None]
+    got = np.asarray(vroi.cheek_roi_from_landmarks(lm, cfg, W, H))[0]
+    box = vroi.bbox_from_landmarks(lm, W, H)
+    ref = np.asarray(vroi.cheek_roi(box, cfg, W, H))[0]
+    assert np.abs(got - ref).max() <= 2, (got, ref)
+
+
+def test_roi_from_landmarks_tracks_rotation():
+    """Under 30 deg of head roll the landmark-frame ROI center follows the
+    rotated cheek band; the naive bbox-ratio ROI drifts off it."""
+    from vhr_tpu.config import ROIConfig
+    W, H = 640, 480
+    cfg = ROIConfig()
+    cx, cy, rx, ry, ang = 0.5, 0.45, 0.15, 0.25, np.deg2rad(30.0)
+    lm = jnp.asarray(_ellipse_cloud(cx, cy, rx, ry, ang))[None]
+
+    got = np.asarray(vroi.cheek_roi_from_landmarks(lm, cfg, W, H))[0]
+    gc = np.array([(got[0] + got[2]) / 2.0, (got[1] + got[3]) / 2.0])
+
+    # Analytic rotated cheek-band center: c + beta_mid * R(0, ry).
+    beta_mid = ((2 * cfg.cheek_top - 1) + (2 * cfg.cheek_bottom - 1)) / 2.0
+    v = np.array([-np.sin(ang) * ry, np.cos(ang) * ry])  # rotated (0, ry)
+    expect = np.array([(cx + beta_mid * v[0]) * W,
+                       (cy + beta_mid * v[1]) * H])
+    assert np.abs(gc - expect).max() <= 3.0, (gc, expect)
+
+    box = vroi.bbox_from_landmarks(lm, W, H)
+    naive = np.asarray(vroi.cheek_roi(box, cfg, W, H))[0]
+    nc = np.array([(naive[0] + naive[2]) / 2.0, (naive[1] + naive[3]) / 2.0])
+    # The naive center misses the rotated band by more than the landmark ROI.
+    assert np.linalg.norm(nc - expect) > 2.0 * np.linalg.norm(gc - expect)

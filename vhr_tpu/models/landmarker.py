@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LandmarkerConfig", "FaceLandmarker", "preprocess_frames",
-           "landmarks_to_bbox_valid"]
+           "landmarks_to_bbox_valid", "make_detector", "make_roi_detector",
+           "load_default_detector"]
 
 
 @dataclasses.dataclass(frozen=True, unsafe_hash=True)
@@ -133,6 +134,35 @@ def make_detector(params, cfg: LandmarkerConfig = LandmarkerConfig(),
         x = preprocess_frames(frames, cfg.input_size)
         lm, presence = model.apply({"params": p}, x)
         return landmarks_to_bbox_valid(lm, presence, W, H, threshold)
+
+    return jax.tree_util.Partial(_detect, params)
+
+
+def make_roi_detector(params, cfg: LandmarkerConfig = LandmarkerConfig(),
+                      roi_cfg=None, threshold: float = 0.0):
+    """Wrap trained weights as a *pose-robust ROI* detector.
+
+    Unlike :func:`make_detector` (which collapses the cloud to a min/max box
+    exactly as the reference does, ``rppg_VIDEO.py:93-98``), this variant
+    also returns the cheek ROI carved out of the landmark cloud's own frame
+    (``ops.roi.cheek_roi_from_landmarks``) — under head roll the ROI follows
+    the rotated cheek band instead of drifting off it.  Interface:
+    ``frames (T, H, W, 3) u8 -> (boxes (T, 4), rois (T, 4), valid (T,))``,
+    consumed by ``pipeline.offline.extract_signals_landmark_roi``.
+    """
+    from ..config import ROIConfig
+    from ..ops.roi import cheek_roi_from_landmarks
+
+    roi_cfg = roi_cfg or ROIConfig()
+    model = FaceLandmarker(cfg)
+
+    def _detect(p, frames: jnp.ndarray):
+        T, H, W, _ = frames.shape
+        x = preprocess_frames(frames, cfg.input_size)
+        lm, presence = model.apply({"params": p}, x)
+        boxes, valid = landmarks_to_bbox_valid(lm, presence, W, H, threshold)
+        rois = cheek_roi_from_landmarks(lm, roi_cfg, W, H)
+        return boxes, rois, valid
 
     return jax.tree_util.Partial(_detect, params)
 

@@ -14,6 +14,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ROIConfig
 
@@ -21,7 +22,9 @@ __all__ = [
     "BoxTrack",
     "bbox_from_landmarks",
     "roi_from_bbox",
+    "roi_from_landmarks",
     "cheek_roi",
+    "cheek_roi_from_landmarks",
     "forehead_roi",
     "holdover",
     "holdover_multi",
@@ -96,6 +99,67 @@ def forehead_roi(bbox: jnp.ndarray, cfg: ROIConfig, width: int, height: int
                  ) -> jnp.ndarray:
     return roi_from_bbox(bbox, cfg.forehead_horizontal, cfg.forehead_top,
                          cfg.forehead_bottom, width, height)
+
+
+def roi_from_landmarks(landmarks: jnp.ndarray, horizontal: float,
+                       top: float, bottom: float, width: int, height: int
+                       ) -> jnp.ndarray:
+    """Pose-robust ROI directly from the landmark cloud.
+
+    The reference collapses its 478 landmarks to an axis-aligned min/max box
+    before carving ROI ratios out of it (``rppg_VIDEO.py:93-103``) — under
+    head roll the interior ratios drift off the cheeks.  Here the same
+    ratios are applied in the face's OWN frame: the landmark set samples the
+    face boundary at uniform angles (``models/facegen.py`` ground truth), so
+    the first circular Fourier harmonic of the cloud recovers the center and
+    the rotated semi-axis vectors exactly,
+
+      ``c = mean(lms)``, ``u = (2/L) sum lms_i cos(theta_i)`` (rotated
+      ``(rx, 0)``), ``v = (2/L) sum lms_i sin(theta_i)`` (rotated
+      ``(0, ry)``),
+
+    and the ROI ratios map to local corners ``alpha in [-(1-2*horizontal)]
+    ... , beta in [2*top-1, 2*bottom-1]``.  The returned axis-aligned rect
+    is the bounding box of the four rotated corners — identical to
+    :func:`roi_from_bbox` (up to rounding) for an upright face, and tracking
+    the rotated cheek band otherwise.  Using every landmark (not just the 4
+    extremes) averages down per-point regression noise.
+
+    Args:
+      landmarks: ``(..., L, 2)`` normalized [x, y] in [0, 1].
+    Returns:
+      ``(..., 4)`` int32 ``[x1, y1, x2, y2]`` (x2/y2 exclusive).
+    """
+    L = landmarks.shape[-2]
+    theta = 2.0 * np.pi * np.arange(L, dtype=np.float32) / L
+    cosw = jnp.asarray(np.cos(theta))
+    sinw = jnp.asarray(np.sin(theta))
+    scale = jnp.asarray([width, height], jnp.float32)
+    pts = landmarks * scale                                   # pixels
+    c = jnp.mean(pts, axis=-2)                                # (..., 2)
+    u = 2.0 / L * jnp.sum(pts * cosw[:, None], axis=-2)       # (..., 2)
+    v = 2.0 / L * jnp.sum(pts * sinw[:, None], axis=-2)       # (..., 2)
+
+    alphas = np.array([-(1.0 - 2.0 * horizontal), 1.0 - 2.0 * horizontal],
+                      np.float32)
+    betas = np.array([2.0 * top - 1.0, 2.0 * bottom - 1.0], np.float32)
+    corners = jnp.stack([c + a * u + b * v
+                         for a in alphas for b in betas], axis=-2)
+    x1 = jnp.clip(jnp.min(corners[..., 0], axis=-1).astype(jnp.int32),
+                  0, width - 1)
+    y1 = jnp.clip(jnp.min(corners[..., 1], axis=-1).astype(jnp.int32),
+                  0, height - 1)
+    x2 = jnp.clip(jnp.max(corners[..., 0], axis=-1).astype(jnp.int32),
+                  0, width)
+    y2 = jnp.clip(jnp.max(corners[..., 1], axis=-1).astype(jnp.int32),
+                  0, height)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def cheek_roi_from_landmarks(landmarks: jnp.ndarray, cfg: ROIConfig,
+                             width: int, height: int) -> jnp.ndarray:
+    return roi_from_landmarks(landmarks, cfg.cheek_horizontal, cfg.cheek_top,
+                              cfg.cheek_bottom, width, height)
 
 
 def holdover(box: jnp.ndarray, valid: jnp.ndarray,

@@ -31,6 +31,7 @@ __all__ = [
     "SignalTrace",
     "extract_signals",
     "extract_signals_fused",
+    "extract_signals_landmark_roi",
     "extract_signals_multi",
     "measure_green_avg",
     "measure_green_avg_multi",
@@ -155,6 +156,38 @@ def extract_signals_fused(frames: jnp.ndarray,
     rois = jnp.where(res.roi_valid[:, None], rois, 0)
     return SignalTrace(bgr=res.means, valid=res.roi_valid, rois=rois,
                        boxes=res.boxes)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "det_fn"))
+def _extract_signals_lmroi_jit(frames, det_args, cfg, det_fn):
+    boxes, rois_raw, valid = det_fn(*det_args, frames)
+    track_box = vroi.holdover(boxes, valid, cfg.roi.landmark_hold_frames)
+    # The pose-robust ROI rect rides the SAME holdover scan as the box (a
+    # stale cloud's ROI is reused for <=15 frames, roi.py:91-95 rule).
+    track_roi = vroi.holdover(rois_raw, valid, cfg.roi.landmark_hold_frames)
+    rois = jnp.where(track_roi.valid[:, None], track_roi.box, 0)
+    means, _ = vreduce.roi_channel_means(frames, rois)
+    return SignalTrace(bgr=means, valid=track_roi.valid, rois=rois,
+                       boxes=track_box.box)
+
+
+def extract_signals_landmark_roi(frames: jnp.ndarray, detector,
+                                 cfg: PipelineConfig = PipelineConfig()
+                                 ) -> SignalTrace:
+    """Pose-robust :func:`extract_signals`: cheek ROIs carved out of the
+    landmark cloud's own (rotated) frame instead of bbox interior ratios.
+
+    ``detector`` maps ``frames -> (boxes, rois, valid)`` — build one with
+    ``models.landmarker.make_roi_detector`` (weights arrive as a traced
+    ``jax.tree_util.Partial``).  Exceeds the reference, which only ever uses
+    the landmark min/max box (``rppg_VIDEO.py:93-103``).
+    """
+    if isinstance(detector, jax.tree_util.Partial):
+        det_fn, det_args = detector.func, tuple(detector.args)
+    else:
+        det_fn, det_args = detector, ()
+    return _extract_signals_lmroi_jit(frames, det_args, cfg=cfg,
+                                      det_fn=det_fn)
 
 
 @functools.partial(jax.jit,
