@@ -18,6 +18,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import time
 
 import numpy as np
@@ -87,11 +88,19 @@ def main(argv=None) -> int:
                    help="replay a video file instead of a camera")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--no-display", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="single-HBM-pass Pallas detection (needs frame "
+                        "H %% 8 == 0 and W*3 %% 128 == 0); lowest-latency "
+                        "production mode")
     args = p.parse_args(argv)
 
+    cfg = live.LiveConfig()
+    if args.fused:
+        cfg = dataclasses.replace(cfg, use_fused=True, detect_row_pool=8,
+                                  gate_margin=0.15)
     source = args.video if args.video is not None else args.camera
     print("PRESS q to quit -- PRESS spacebar to pause")
-    return run(source, live.LiveConfig(), max_frames=args.max_frames,
+    return run(source, cfg, max_frames=args.max_frames,
                display=not args.no_display)
 
 

@@ -428,6 +428,9 @@ def extract_signals_streaming(video_path: str,
                               detector: Optional[DetectorFn] = None,
                               chunk_frames: int = 256,
                               prefer_native: bool = True,
+                              use_fused: bool = False,
+                              detect_row_pool: int = 1,
+                              gate_margin: Optional[float] = None,
                               ring_stats: Optional[dict] = None):
     """Chunked-decode signal extraction for long recordings.
 
@@ -437,6 +440,12 @@ def extract_signals_streaming(video_path: str,
     available, cv2 otherwise); the detector + ROI reduction run per chunk
     with the landmark-holdover scan state carried across chunk boundaries,
     so results are identical to a whole-video pass.
+
+    ``use_fused=True`` runs each chunk through the single-HBM-pass Pallas
+    kernel (``fused_detect_roi_carry`` — its explicit tracking carry exists
+    precisely for this chunked launch pattern); ``detect_row_pool`` /
+    ``gate_margin`` are its knobs.  Requires ``H % 8 == 0`` and
+    ``W*3 % 128 == 0`` and ``detector=None``.
 
     Returns ``(bgr (T, 3), valid (T,), fps)`` host arrays.  If
     ``ring_stats`` is a dict it is filled with the native staging-ring
@@ -449,6 +458,9 @@ def extract_signals_streaming(video_path: str,
     from ..models import skin_detector as sd
     from ..ops import roi as vroi_mod
 
+    if use_fused and detector is not None:
+        raise ValueError("use_fused streams through the skin-detector "
+                         "kernel; pass detector=None")
     det_fn, det_args = _split_detector(detector)
 
     reader = None
@@ -461,18 +473,36 @@ def extract_signals_streaming(video_path: str,
         except Exception:
             reader = None
 
-    @jax.jit
-    def chunk_step(frames, det_args, carry):
-        T, H, W, _ = frames.shape
-        boxes, valid = det_fn(*det_args, frames)
-        track, carry = vroi_mod.holdover_with_carry(
-            boxes, valid, cfg.roi.landmark_hold_frames, carry)
-        rois = vroi_mod.cheek_roi(track.box, cfg.roi, W, H)
-        rois = jnp.where(track.valid[:, None], rois, 0)
-        means, _ = vreduce.roi_channel_means(frames, rois)
-        return means, track.valid, carry
+    if use_fused:
+        from ..ops.pallas_fused import fused_detect_roi_carry, init_carry
 
-    carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0), jnp.asarray(False))
+        interp = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def chunk_step(frames, _unused, state):
+            fcarry, phase = state
+            res, fcarry = fused_detect_roi_carry(
+                frames, fcarry, roi=cfg.roi,
+                detect_row_pool=detect_row_pool, gate_margin=gate_margin,
+                interpret=interp, t_len=frames.shape[0], phase=phase)
+            return res.means, res.roi_valid, (fcarry,
+                                              phase + frames.shape[0])
+
+        carry = (init_carry(), jnp.int32(0))
+    else:
+        @jax.jit
+        def chunk_step(frames, det_args, carry):
+            T, H, W, _ = frames.shape
+            boxes, valid = det_fn(*det_args, frames)
+            track, carry = vroi_mod.holdover_with_carry(
+                boxes, valid, cfg.roi.landmark_hold_frames, carry)
+            rois = vroi_mod.cheek_roi(track.box, cfg.roi, W, H)
+            rois = jnp.where(track.valid[:, None], rois, 0)
+            means, _ = vreduce.roi_channel_means(frames, rois)
+            return means, track.valid, carry
+
+        carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0),
+                 jnp.asarray(False))
     bgr_parts, valid_parts = [], []
     if reader is not None:
         fps = reader.fps
@@ -499,15 +529,19 @@ def extract_signals_streaming(video_path: str,
 def measure_green_avg_file(video_path: str,
                            cfg: PipelineConfig = PipelineConfig(),
                            detector: Optional[DetectorFn] = None,
-                           chunk_frames: int = 256
+                           chunk_frames: int = 256,
+                           use_fused: bool = False,
+                           detect_row_pool: int = 1,
+                           gate_margin: Optional[float] = None
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Streaming-decode variant of :func:`measure_green_avg` (bounded RAM)."""
     import jax.numpy as jnp_
 
     from ..ops import windows as vwin_mod
 
-    bgr, valid, fps = extract_signals_streaming(video_path, cfg, detector,
-                                                chunk_frames)
+    bgr, valid, fps = extract_signals_streaming(
+        video_path, cfg, detector, chunk_frames, use_fused=use_fused,
+        detect_row_pool=detect_row_pool, gate_margin=gate_margin)
     T = bgr.shape[0]
     ts = np.arange(T) / fps if T else np.zeros(0)
     if T == 0:
