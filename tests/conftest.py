@@ -48,6 +48,7 @@ _SLOW_TESTS = {
     "test_detector_adapter_interface",
     "test_two_bpms_recovered_independently",
     "test_cascade_multi_detector_in_pipeline",
+    "test_tiled_multi_bpm_on_skin_background",
 }
 
 

@@ -28,6 +28,8 @@ __all__ = [
     "forehead_roi",
     "holdover",
     "holdover_multi",
+    "holdover_multi_step",
+    "init_multi_carry",
 ]
 
 
@@ -235,65 +237,89 @@ def holdover_multi(box: jnp.ndarray, valid: jnp.ndarray,
       one subject for the whole clip.
     """
     K = box.shape[1]
+
+    def step(carry, inp):
+        return holdover_multi_step(carry, inp[0], inp[1], hold_frames)
+
+    _, (boxes, valids) = jax.lax.scan(step, init_multi_carry(K),
+                                      (box, valid))
+    return BoxTrack(box=boxes, valid=valids)
+
+
+def init_multi_carry(k_faces: int):
+    """Zeroed K-track carry for :func:`holdover_multi_step`."""
+    return (jnp.zeros((k_faces, 4), jnp.int32),
+            jnp.zeros((k_faces,), jnp.int32),
+            jnp.zeros((k_faces,), bool))
+
+
+def holdover_multi_step(carry, cand: jnp.ndarray, cval: jnp.ndarray,
+                        hold_frames: int = 15):
+    """One frame of the K-track identity-matched holdover.
+
+    Shared by the offline scan (:func:`holdover_multi`) and the live
+    multi-face step (``pipeline.live.step_multi``), so both paths track
+    identity with bit-identical semantics.
+
+    Args:
+      carry: ``(last (K, 4), budget (K,), has (K,))``.
+      cand/cval: this frame's ``(K, 4)`` candidates and ``(K,)`` validity.
+    Returns:
+      ``(new_carry, (boxes (K, 4), valid (K,)))``.
+    """
+    K = cand.shape[0]
     INF = jnp.float32(1e9)
 
     def centers(b):
         bf = b.astype(jnp.float32)
         return (bf[..., 0] + bf[..., 2]) * 0.5, (bf[..., 1] + bf[..., 3]) * 0.5
 
-    def step(carry, inp):
-        last, budget, has = carry                 # (K,4), (K,), (K,)
-        cand, cval = inp                          # (K,4), (K,)
-        tx, ty = centers(last)
-        cx, cy = centers(cand)
-        cost = (jnp.abs(tx[:, None] - cx[None, :])
-                + jnp.abs(ty[:, None] - cy[None, :]))
-        cost = jnp.where(jnp.logical_and(has[:, None], cval[None, :]),
-                         cost, INF)
+    last, budget, has = carry                 # (K,4), (K,), (K,)
+    tx, ty = centers(last)
+    cx, cy = centers(cand)
+    cost = (jnp.abs(tx[:, None] - cx[None, :])
+            + jnp.abs(ty[:, None] - cy[None, :]))
+    cost = jnp.where(jnp.logical_and(has[:, None], cval[None, :]),
+                     cost, INF)
 
-        def match(i, st):
-            assign, avail_t, avail_c = st
-            masked = jnp.where(
-                jnp.logical_and(avail_t[:, None], avail_c[None, :]),
-                cost, INF)
-            flat = jnp.argmin(masked.reshape(-1))
-            ti, ci = flat // K, flat % K
-            ok = masked.reshape(-1)[flat] < INF
-            assign = jnp.where(ok, assign.at[ti].set(ci.astype(jnp.int32)),
-                               assign)
-            avail_t = jnp.logical_and(
-                avail_t, ~jnp.logical_and(jnp.arange(K) == ti, ok))
-            avail_c = jnp.logical_and(
-                avail_c, ~jnp.logical_and(jnp.arange(K) == ci, ok))
-            return assign, avail_t, avail_c
+    def match(i, st):
+        assign, avail_t, avail_c = st
+        masked = jnp.where(
+            jnp.logical_and(avail_t[:, None], avail_c[None, :]),
+            cost, INF)
+        flat = jnp.argmin(masked.reshape(-1))
+        ti, ci = flat // K, flat % K
+        ok = masked.reshape(-1)[flat] < INF
+        assign = jnp.where(ok, assign.at[ti].set(ci.astype(jnp.int32)),
+                           assign)
+        avail_t = jnp.logical_and(
+            avail_t, ~jnp.logical_and(jnp.arange(K) == ti, ok))
+        avail_c = jnp.logical_and(
+            avail_c, ~jnp.logical_and(jnp.arange(K) == ci, ok))
+        return assign, avail_t, avail_c
 
-        assign, _, avail_c = jax.lax.fori_loop(
-            0, K, match, (jnp.full((K,), -1, jnp.int32), has, cval))
-        got = assign >= 0
+    assign, _, avail_c = jax.lax.fori_loop(
+        0, K, match, (jnp.full((K,), -1, jnp.int32), has, cval))
+    got = assign >= 0
 
-        # New subjects claim free slots (never used, or holdover expired),
-        # leftmost candidate -> lowest free slot.
-        unmatched = jnp.logical_and(cval, avail_c)
-        free = jnp.logical_and(~got, jnp.logical_or(~has, budget <= 0))
-        cand_order = jnp.argsort(jnp.where(unmatched, cx, INF))
-        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-        n_new = jnp.sum(unmatched.astype(jnp.int32))
-        seed = jnp.logical_and(free, free_rank < n_new)
-        cidx = cand_order[jnp.clip(free_rank, 0, K - 1)]
-        assign = jnp.where(seed, cidx.astype(jnp.int32), assign)
-        got = assign >= 0
+    # New subjects claim free slots (never used, or holdover expired),
+    # leftmost candidate -> lowest free slot.
+    unmatched = jnp.logical_and(cval, avail_c)
+    free = jnp.logical_and(~got, jnp.logical_or(~has, budget <= 0))
+    cand_order = jnp.argsort(jnp.where(unmatched, cx, INF))
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    n_new = jnp.sum(unmatched.astype(jnp.int32))
+    seed = jnp.logical_and(free, free_rank < n_new)
+    cidx = cand_order[jnp.clip(free_rank, 0, K - 1)]
+    assign = jnp.where(seed, cidx.astype(jnp.int32), assign)
+    got = assign >= 0
 
-        a = jnp.clip(assign, 0, K - 1)
-        new_last = jnp.where(got[:, None], cand[a], last)
-        reuse = jnp.logical_and(~got,
-                                jnp.logical_and(has, budget > 0))
-        new_budget = jnp.where(got, hold_frames,
-                               jnp.where(reuse, budget - 1, budget))
-        new_has = jnp.logical_or(got, has)
-        out_valid = jnp.logical_or(got, reuse)
-        return ((new_last, new_budget, new_has), (new_last, out_valid))
-
-    carry = (jnp.zeros((K, 4), jnp.int32), jnp.zeros((K,), jnp.int32),
-             jnp.zeros((K,), bool))
-    _, (boxes, valids) = jax.lax.scan(step, carry, (box, valid))
-    return BoxTrack(box=boxes, valid=valids)
+    a = jnp.clip(assign, 0, K - 1)
+    new_last = jnp.where(got[:, None], cand[a], last)
+    reuse = jnp.logical_and(~got,
+                            jnp.logical_and(has, budget > 0))
+    new_budget = jnp.where(got, hold_frames,
+                           jnp.where(reuse, budget - 1, budget))
+    new_has = jnp.logical_or(got, has)
+    out_valid = jnp.logical_or(got, reuse)
+    return ((new_last, new_budget, new_has), (new_last, out_valid))
