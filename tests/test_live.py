@@ -135,3 +135,60 @@ def test_live_ring_fill_welch_matches_reference_port(clip):
         band = (freqs >= cfg.band.low_hz) & (freqs <= cfg.band.high_hz)
         ref_bpm = freqs[band][np.argmax(psd[band])] * 60.0
         assert float(out.bpm) == pytest.approx(ref_bpm, abs=1e-3), i
+
+
+def test_live_multi_matches_offline_tracking():
+    """step_multi's K-track identity handling is bit-identical to the
+    offline scan (both run ops.roi.holdover_multi_step)."""
+    from vhr_tpu.models.multiface import detect_faces_multi
+    from vhr_tpu.ops import roi as vroi
+    from vhr_tpu.utils.synth import FaceSpec, synthesize_multi
+
+    duo = synthesize_multi(
+        (FaceSpec(center=(0.25, 0.45), bpm=66.0,
+                  dropout_frames=tuple(range(40, 50))),
+         FaceSpec(center=(0.72, 0.5), bpm=90.0)),
+        duration_s=4.0)
+    frames = jnp.asarray(duo.frames)
+    cand, cval = detect_faces_multi(frames, k_faces=2)
+    track = vroi.holdover_multi(cand, cval)
+
+    cfg = live.LiveConfig(fps=duo.fps)
+    st = live.init_state_multi(cfg, 2)
+    stp = live.make_step_multi(cfg, 2, donate=False)
+    boxes, valid = [], []
+    for f in duo.frames:
+        st, out = stp(st, jnp.asarray(f))
+        boxes.append(np.asarray(out.box))
+        valid.append(np.asarray(out.face_valid))
+    np.testing.assert_array_equal(np.stack(boxes), np.asarray(track.box))
+    np.testing.assert_array_equal(np.stack(valid), np.asarray(track.valid))
+
+
+def test_live_multi_two_bpms():
+    """K-subject live monitoring: both subjects' BPMs from one stream of
+    frames (the reference's num_faces=2 surface, rppg_LIVESTREAM.py:308,
+    which it never actually delivers — it reads face_landmarks[0] only)."""
+    from vhr_tpu.utils.synth import FaceSpec, synthesize_multi
+
+    duo = synthesize_multi(
+        (FaceSpec(center=(0.25, 0.45), bpm=60.0),
+         FaceSpec(center=(0.72, 0.5), bpm=96.0)),
+        height=144, width=256, duration_s=22.0, noise_std=1.0)
+    cfg = live.LiveConfig(fps=duo.fps)
+    st = live.init_state_multi(cfg, 2)
+    stp = live.make_step_multi(cfg, 2, donate=False)
+    bpms, valids = [], []
+    for f in duo.frames:
+        st, out = stp(st, jnp.asarray(f))
+        bpms.append(np.asarray(out.bpm))
+        valids.append(np.asarray(out.bpm_valid))
+    bpms, valids = np.stack(bpms), np.stack(valids)
+    assert not valids[:269].any()
+    assert valids[280:].all()
+    # Evaluate after the causal SOS startup transient (zero zi on a ~135
+    # DC input — reference-parity semantics, live_sos_init) has mostly
+    # left the Welch segments.
+    err = np.abs(bpms[-100:] - np.array([60.0, 96.0])[None, :])
+    assert np.median(err[:, 0]) <= 7.0      # welch bin ~6.7 BPM
+    assert np.median(err[:, 1]) <= 7.0

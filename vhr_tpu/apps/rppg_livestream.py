@@ -9,10 +9,12 @@ donated pytree; the host never touches a filter coefficient.
 Usage::
 
     python -m vhr_tpu.apps.rppg_livestream [--camera 0] [--video FILE]
-        [--max-frames N] [--no-display]
+        [--max-frames N] [--no-display] [--fused] [--faces K]
 
 ``--video`` replays a file as if it were a camera (useful headless);
-``--no-display`` prints the BPM trace instead of opening windows.
+``--no-display`` prints the BPM trace instead of opening windows;
+``--fused`` routes detection+ROI through the single-pass Pallas kernel;
+``--faces K`` monitors K subjects concurrently (K live chains on device).
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import time
 import numpy as np
 
 
-def run(source, cfg, max_frames=None, display=True) -> int:
+def run(source, cfg, max_frames=None, display=True, k_faces=1) -> int:
     import cv2
     import jax.numpy as jnp
 
@@ -35,11 +37,13 @@ def run(source, cfg, max_frames=None, display=True) -> int:
         print(f"error: could not open source {source!r}")
         return 1
     fps = cam.get(cv2.CAP_PROP_FPS) or 15.0   # rppg_LIVESTREAM.py:291 fallback
-    cfg = live.LiveConfig(fps=float(fps), band=cfg.band,
-                          filter_order=cfg.filter_order,
-                          ring_len=cfg.ring_len, roi=cfg.roi)
-    state = live.init_state(cfg)
-    step = live.make_step(cfg, donate=False)
+    cfg = dataclasses.replace(cfg, fps=float(fps))
+    if k_faces > 1:
+        state = live.init_state_multi(cfg, k_faces)
+        step = live.make_step_multi(cfg, k_faces, donate=False)
+    else:
+        state = live.init_state(cfg)
+        step = live.make_step(cfg, donate=False)
 
     paused = False
     n = 0
@@ -52,16 +56,29 @@ def run(source, cfg, max_frames=None, display=True) -> int:
                 break
             state, out = step(state, jnp.asarray(frame))
             n += 1
-            if bool(out.bpm_valid):
-                print(f"Bpm after filtering: {float(out.bpm):.2f}")
+            # Normalize to a face axis so one draw/report path serves both.
+            boxes = np.atleast_2d(np.asarray(out.box))
+            bpms = np.atleast_1d(np.asarray(out.bpm))
+            bpm_ok = np.atleast_1d(np.asarray(out.bpm_valid))
+            face_ok = np.atleast_1d(np.asarray(out.face_valid))
+            if bpm_ok.any():
+                if len(bpms) == 1:        # reference format, rppg_LIVESTREAM
+                    print(f"Bpm after filtering: {bpms[0]:.2f}")
+                else:
+                    msg = "  ".join(f"face{k}: {bpms[k]:.2f}"
+                                    for k in range(len(bpms)) if bpm_ok[k])
+                    print(f"Bpm after filtering: {msg}")
             if display:
-                x1, y1, x2, y2 = np.asarray(out.box)
-                if bool(out.face_valid):
-                    cv2.rectangle(frame, (x1, y1), (x2, y2), (0, 255, 0), 2)
-                if bool(out.bpm_valid):
-                    cv2.putText(frame, f"{float(out.bpm):.1f} BPM", (8, 24),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.7,
-                                (255, 255, 255), 2)
+                for k in range(len(boxes)):
+                    x1, y1, x2, y2 = boxes[k]
+                    if face_ok[k]:
+                        cv2.rectangle(frame, (x1, y1), (x2, y2),
+                                      (0, 255, 0), 2)
+                    if bpm_ok[k]:
+                        cv2.putText(frame, f"{bpms[k]:.1f} BPM",
+                                    (8, 24 * (k + 1)),
+                                    cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                                    (255, 255, 255), 2)
         if display:
             cv2.imshow("vhr_tpu livestream", frame)
             key = cv2.waitKey(1) & 0xFF
@@ -92,8 +109,14 @@ def main(argv=None) -> int:
                    help="single-HBM-pass Pallas detection (needs frame "
                         "H %% 8 == 0 and W*3 %% 128 == 0); lowest-latency "
                         "production mode")
+    p.add_argument("--faces", type=int, default=1,
+                   help="monitor up to K subjects at once (the reference "
+                        "requests num_faces=2 but only processes face 0; "
+                        "here every slot gets a full live chain)")
     args = p.parse_args(argv)
 
+    if args.fused and args.faces > 1:
+        p.error("--fused is single-face; drop it or use --faces 1")
     cfg = live.LiveConfig()
     if args.fused:
         cfg = dataclasses.replace(cfg, use_fused=True, detect_row_pool=8,
@@ -101,7 +124,7 @@ def main(argv=None) -> int:
     source = args.video if args.video is not None else args.camera
     print("PRESS q to quit -- PRESS spacebar to pause")
     return run(source, cfg, max_frames=args.max_frames,
-               display=not args.no_display)
+               display=not args.no_display, k_faces=args.faces)
 
 
 if __name__ == "__main__":

@@ -28,7 +28,8 @@ from ..ops import reduce as vreduce
 from ..ops import roi as vroi
 
 __all__ = ["LiveConfig", "LiveState", "LiveOutput", "init_state", "step",
-           "make_step"]
+           "make_step", "MultiLiveState", "init_state_multi", "step_multi",
+           "make_step_multi"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -220,4 +221,108 @@ def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig
 def make_step(cfg: LiveConfig = LiveConfig(), donate: bool = True):
     """The compiled per-frame step; state buffers donated to stay on device."""
     f = functools.partial(step, cfg=cfg)
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
+
+
+class MultiLiveState(NamedTuple):
+    """K independent subjects' live state (face axis leading everywhere)."""
+    ring_raw: jnp.ndarray     # (K, N)
+    ring_filt: jnp.ndarray    # (K, N)
+    count: jnp.ndarray        # (K,) per-face valid-sample counters
+    zi: jnp.ndarray           # (K, S, 2)
+    last_box: jnp.ndarray     # (K, 4)
+    hold_budget: jnp.ndarray  # (K,)
+    has_last: jnp.ndarray     # (K,) bool
+
+
+def init_state_multi(cfg: LiveConfig = LiveConfig(),
+                     k_faces: int = 2) -> MultiLiveState:
+    n_sections = _sos(cfg).shape[0]
+    K = k_faces
+    return MultiLiveState(
+        ring_raw=jnp.zeros((K, cfg.ring_len), jnp.float32),
+        ring_filt=jnp.zeros((K, cfg.ring_len), jnp.float32),
+        count=jnp.zeros((K,), jnp.int32),
+        zi=jnp.zeros((K, n_sections, 2), jnp.float32),
+        last_box=jnp.zeros((K, 4), jnp.int32),
+        hold_budget=jnp.zeros((K,), jnp.int32),
+        has_last=jnp.zeros((K,), bool),
+    )
+
+
+def step_multi(state: MultiLiveState, frame: jnp.ndarray, cfg: LiveConfig,
+               k_faces: int = 2, detector=None
+               ) -> Tuple[MultiLiveState, LiveOutput]:
+    """One frame of K-subject live monitoring (pure; jit via
+    :func:`make_step_multi`).
+
+    The reference requests ``num_faces=2`` but only processes
+    ``face_landmarks[0]`` (``rppg_LIVESTREAM.py:308,339``); here every slot
+    gets the full live treatment: per-frame top-K detection, the
+    identity-matched K-track holdover (``ops.roi.holdover_multi_step`` —
+    bit-identical semantics to the offline scan), and a vmapped per-face
+    ROI-mean -> streaming-SOS -> masked-Welch chain.  Output fields carry a
+    leading ``(K,)`` face axis.
+
+    ``detector`` overrides detection with any ``frames -> (boxes (1, K, 4),
+    valid (1, K))`` callable (e.g. ``cascade.make_tiled_detector_multi``).
+    """
+    from ..models.multiface import detect_faces_multi
+
+    H, W, _ = frame.shape
+    sos = _sos(cfg)
+
+    if detector is None:
+        cand, cval = detect_faces_multi(frame[None], k_faces)
+    else:
+        cand, cval = detector(frame[None])
+    carry = (state.last_box, state.hold_budget, state.has_last)
+    (new_last, new_budget, new_has), (boxes, face_valid) = \
+        vroi.holdover_multi_step(carry, cand[0], cval[0],
+                                 cfg.roi.landmark_hold_frames)
+
+    rois = vroi.cheek_roi(boxes, cfg.roi, W, H)               # (K, 4)
+    rois = jnp.where(face_valid[:, None], rois, 0)
+    means, _ = vreduce.roi_channel_means(
+        jnp.broadcast_to(frame[None], (k_faces,) + frame.shape), rois)
+    green = means[:, 1]                                       # (K,)
+
+    filt, zi = jax.vmap(lambda z, g: filters.sos_stream_push(sos, z, g))(
+        state.zi, green)
+
+    ptr = jnp.mod(state.count, cfg.ring_len)                  # (K,)
+    k_idx = jnp.arange(k_faces)
+    ring_raw = jnp.where(face_valid[:, None],
+                         state.ring_raw.at[k_idx, ptr].set(green),
+                         state.ring_raw)
+    ring_filt = jnp.where(face_valid[:, None],
+                          state.ring_filt.at[k_idx, ptr].set(filt),
+                          state.ring_filt)
+    count = state.count + face_valid.astype(jnp.int32)
+    zi = jnp.where(face_valid[:, None, None], zi, state.zi)
+
+    n_valid = jnp.minimum(count, cfg.ring_len)
+    roll = jnp.mod(count, cfg.ring_len)
+    ordered = jax.vmap(lambda r, s: jnp.roll(r, -s))(ring_filt, roll)
+    bpm, bpm_valid = jax.vmap(
+        lambda o, n: _masked_welch_bpm(o, n, cfg.fps, cfg.band,
+                                       cfg.welch_segment_seconds))(
+        ordered, n_valid)
+
+    new_state = MultiLiveState(ring_raw=ring_raw, ring_filt=ring_filt,
+                               count=count, zi=zi, last_box=new_last,
+                               hold_budget=new_budget, has_last=new_has)
+    out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
+                     green_filtered=filt, box=boxes, face_valid=face_valid)
+    return new_state, out
+
+
+def make_step_multi(cfg: LiveConfig = LiveConfig(), k_faces: int = 2,
+                    detector=None, donate: bool = True):
+    """Compiled K-subject per-frame step (state donated).
+
+    A ``jax.tree_util.Partial`` detector's weights ride as traced args of
+    the Partial itself — not baked XLA literals."""
+    f = functools.partial(step_multi, cfg=cfg, k_faces=k_faces,
+                          detector=detector)
     return jax.jit(f, donate_argnums=(0,) if donate else ())
