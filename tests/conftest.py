@@ -49,6 +49,7 @@ _SLOW_TESTS = {
     "test_two_bpms_recovered_independently",
     "test_cascade_multi_detector_in_pipeline",
     "test_tiled_multi_bpm_on_skin_background",
+    "test_rppg_video_app_multiface",
 }
 
 

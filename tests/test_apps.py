@@ -99,3 +99,31 @@ def test_evm_magnify_app(clip_file, tmp_path):
         return s[np.argmin(np.abs(f - 1.25))]     # 75 BPM
 
     assert pulse_amp(mag) > 4.0 * pulse_amp(clip.frames)
+
+
+def test_rppg_video_app_multiface(tmp_path, capsys):
+    """--faces 2: annotated multi output + two distinct per-face BPMs."""
+    from vhr_tpu.apps import rppg_video
+    from vhr_tpu.utils.synth import FaceSpec, synthesize_multi
+
+    duo = synthesize_multi(
+        (FaceSpec(center=(0.25, 0.45), bpm=60.0),
+         FaceSpec(center=(0.72, 0.5), bpm=96.0)),
+        height=144, width=256, duration_s=16.0, noise_std=1.0)
+    path = tmp_path / "duo.mp4"
+    vio.write_video(duo.frames, str(path), duo.fps)
+    out_dir = tmp_path / "out"
+    rc = rppg_video.main([str(path), "--out-dir", str(out_dir),
+                          "--faces", "2"])
+    assert rc == 0
+    assert (out_dir / "annotated_multi.mp4").exists()
+    assert (out_dir / "signals_multi.png").exists()
+    out = capsys.readouterr().out
+    vals = {}
+    for line in out.splitlines():
+        if line.startswith("face") and "BPM" in line:
+            k, v = line.split(" BPM: ")
+            vals[k] = float(v)
+    assert set(vals) == {"face0", "face1"}
+    assert abs(vals["face0"] - 60.0) <= 8.0     # welch bin ~6.7 BPM
+    assert abs(vals["face1"] - 96.0) <= 8.0

@@ -12,6 +12,7 @@ forehead ROI + BPM overlay, mirroring the reference's drawing at
 Usage::
 
     python -m vhr_tpu.apps.rppg_video VIDEO [--out-dir DIR] [--show]
+        [--faces K]
     python -m vhr_tpu.apps.rppg_video --videos-dir videos   # stdin picker
 """
 
@@ -63,6 +64,76 @@ def analyze(video_path: str):
         results[f"valid_{kind}"] = valid
         results["ts"] = ts
     return results
+
+
+def analyze_multi(video_path: str, k_faces: int):
+    """K-subject analysis: per-face cheek-green traces + Welch BPM.
+
+    Goes beyond the reference, which requests ``num_faces=2`` but renders
+    only ``face_landmarks[0]`` (``rppg_LIVESTREAM.py:308,339``).
+    """
+    import jax.numpy as jnp
+
+    frames, fps = vio.read_video(video_path)
+    if frames.shape[0] == 0:
+        raise ValueError(f"empty video: {video_path}")
+    fj = jnp.asarray(frames)
+
+    cfg = PipelineConfig(window_seconds=10.0, acquisition_seconds=5.0,
+                         band=BAND_VIDEO, estimator="welch")
+    trace = offline.extract_signals_multi(fj, k_faces, cfg)
+    ts, bpm, ok = offline.measure_green_avg_multi(fj, fps, k_faces, cfg)
+    return {"fps": fps, "frames": frames, "ts": ts,
+            "green": np.asarray(trace.bgr[..., 1]),       # (T, K)
+            "boxes": np.asarray(trace.boxes),             # (T, K, 4)
+            "rois": np.asarray(trace.rois),
+            "valid": np.asarray(trace.valid),
+            "bpm": bpm, "bpm_valid": ok}
+
+
+def render_multi(results, out_dir: str) -> None:
+    import cv2
+    os.makedirs(out_dir, exist_ok=True)
+    frames, fps = results["frames"], results["fps"]
+    K = results["boxes"].shape[1]
+
+    annotated = frames.copy()
+    for i in range(frames.shape[0]):
+        for k in range(K):
+            if results["valid"][i, k]:
+                x1, y1, x2, y2 = results["boxes"][i, k]
+                cv2.rectangle(annotated[i], (x1, y1), (x2, y2),
+                              (0, 255, 0), 2)
+                rx1, ry1, rx2, ry2 = results["rois"][i, k]
+                cv2.rectangle(annotated[i], (rx1, ry1), (rx2, ry2),
+                              (255, 0, 0), 2)
+            if results["bpm_valid"][i, k]:
+                cv2.putText(annotated[i],
+                            f"face{k}: {results['bpm'][i, k]:.1f} BPM",
+                            (8, 20 * (k + 1)), cv2.FONT_HERSHEY_SIMPLEX,
+                            0.5, (255, 255, 255), 1)
+    out_path = os.path.join(out_dir, "annotated_multi.mp4")
+    vio.write_video(annotated, out_path, fps)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
+    ts = results["ts"]
+    for k in range(K):
+        ax1.plot(ts, results["green"][:, k], lw=0.8, label=f"face{k}")
+        v = results["bpm_valid"][:, k]
+        ax2.plot(ts[v], results["bpm"][v, k], lw=1.2, label=f"face{k}")
+    ax1.set_ylabel("cheek green mean")
+    ax1.legend()
+    ax2.set_xlabel("time (s)")
+    ax2.set_ylabel("BPM (Welch)")
+    ax2.legend()
+    ax2.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "signals_multi.png"), dpi=150)
+    plt.close(fig)
+    print(f"wrote {out_path} and signals_multi.png to {out_dir}")
 
 
 def render(results, out_dir: str, show: bool = False) -> None:
@@ -141,9 +212,21 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default="rppg_out")
     p.add_argument("--show", action="store_true",
                    help="interactive replay window")
+    p.add_argument("--faces", type=int, default=1,
+                   help="analyze up to K subjects (annotated video + "
+                        "per-face BPM traces)")
     args = p.parse_args(argv)
 
     path = args.video or pick_video(args.videos_dir)
+    if args.faces > 1:
+        results = analyze_multi(path, args.faces)
+        ok = results["bpm_valid"]
+        for k in range(args.faces):
+            idx = np.nonzero(ok[:, k])[0]
+            if len(idx):
+                print(f"face{k} BPM: {results['bpm'][idx[-1], k]:.2f}")
+        render_multi(results, args.out_dir)
+        return 0
     results = analyze(path)
     last = np.nonzero(results["valid_butterworth"])[0]
     if len(last):
