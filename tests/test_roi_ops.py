@@ -7,7 +7,8 @@ import jax.numpy as jnp
 from vhr_tpu.config import ROIConfig
 from vhr_tpu.ops import reduce as vreduce
 from vhr_tpu.ops import roi as vroi
-from vhr_tpu.ops.pallas_roi import roi_channel_means_pallas
+from vhr_tpu.ops.pallas_roi import (roi_channel_means_pallas,
+                                    roi_channel_means_pallas_batched)
 
 RNG = np.random.default_rng(11)
 
@@ -138,6 +139,34 @@ def test_pallas_roi_means_matches_xla(shape):
     np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref))
+
+
+@pytest.mark.parametrize("shape,batch", [((21, 48, 64), 8),
+                                          ((16, 130, 96), 4)])
+def test_pallas_roi_means_batched_matches_xla(shape, batch):
+    """Batched slab-DMA kernel: parity incl. ragged tail, invalid and
+    degenerate boxes, and the pre-flattened (T, H, W*C) input layout."""
+    T, H, W = shape
+    frames = RNG.integers(0, 256, size=(T, H, W, 3), dtype=np.uint8)
+    rois = _random_rois(T, H, W)
+    rois[2] = 0                       # invalid frame
+    rois[5] = [7, 11, 13, 11]         # degenerate y-span
+    m_ref, c_ref = vreduce.roi_channel_means(jnp.asarray(frames),
+                                             jnp.asarray(rois))
+    m, c = roi_channel_means_pallas_batched(
+        jnp.asarray(frames), jnp.asarray(rois), batch=batch, row_block=16,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref))
+
+    flat = jnp.asarray(frames.reshape(T, H, W * 3))
+    m2, c2 = roi_channel_means_pallas_batched(flat, jnp.asarray(rois),
+                                              batch=batch, row_block=16,
+                                              interpret=True, channels=3)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c))
 
 
 # --- bpp.py statistics -------------------------------------------------------

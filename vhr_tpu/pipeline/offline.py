@@ -490,25 +490,47 @@ def extract_signals_streaming(video_path: str,
 
         carry = (init_carry(), jnp.int32(0))
     else:
+        # On TPU the ROI reduction runs in the batched slab-DMA Pallas
+        # kernel, fed FLAT (T, H, W*3) chunks: the reshape happens on the
+        # host (a free numpy view of the reader's contiguous buffer), never
+        # inside jit at the custom-call boundary where it would materialize
+        # a full HBM copy (ops/pallas_roi.py layout note).  Detection sees
+        # the 4D view via an in-XLA bitcast reshape (free).
+        batched_roi = jax.default_backend() == "tpu"
+
         @jax.jit
-        def chunk_step(frames, det_args, carry):
-            T, H, W, _ = frames.shape
+        def chunk_step(frames_flat, det_args, carry):
+            T, H, WC = frames_flat.shape
+            W = WC // 3
+            frames = frames_flat.reshape(T, H, W, 3)
             boxes, valid = det_fn(*det_args, frames)
             track, carry = vroi_mod.holdover_with_carry(
                 boxes, valid, cfg.roi.landmark_hold_frames, carry)
             rois = vroi_mod.cheek_roi(track.box, cfg.roi, W, H)
             rois = jnp.where(track.valid[:, None], rois, 0)
-            means, _ = vreduce.roi_channel_means(frames, rois)
+            if batched_roi and H % 8 == 0:
+                from ..ops.pallas_roi import roi_channel_means_pallas_batched
+                means, _ = roi_channel_means_pallas_batched(
+                    frames_flat, rois, channels=3)
+            else:
+                means, _ = vreduce.roi_channel_means(frames, rois)
             return means, track.valid, carry
 
         carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0),
                  jnp.asarray(False))
+    if use_fused:
+        prep = jnp.asarray
+    else:
+        # Host-side flatten (a free view of the contiguous decode buffer).
+        def prep(c):
+            return jnp.asarray(c.reshape(c.shape[0], c.shape[1], -1))
+
     bgr_parts, valid_parts = [], []
     if reader is not None:
         fps = reader.fps
         with reader:
             for chunk in reader:
-                m, v, carry = chunk_step(jnp.asarray(chunk), det_args, carry)
+                m, v, carry = chunk_step(prep(chunk), det_args, carry)
                 bgr_parts.append(np.asarray(m))
                 valid_parts.append(np.asarray(v))
             if ring_stats is not None:
@@ -517,7 +539,7 @@ def extract_signals_streaming(video_path: str,
         fps = None
         for chunk, f, _ in vio.iter_video_chunks(video_path, chunk_frames):
             fps = f
-            m, v, carry = chunk_step(jnp.asarray(chunk), det_args, carry)
+            m, v, carry = chunk_step(prep(chunk), det_args, carry)
             bgr_parts.append(np.asarray(m))
             valid_parts.append(np.asarray(v))
     if not bgr_parts:
