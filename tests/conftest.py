@@ -50,6 +50,17 @@ _SLOW_TESTS = {
     "test_cascade_multi_detector_in_pipeline",
     "test_tiled_multi_bpm_on_skin_background",
     "test_rppg_video_app_multiface",
+    # >15 s each on the 1-core host with sibling fast coverage (profiled
+    # 2026-08-17); the full suite still runs them.
+    "test_adversarial_skin_detector_fails_landmarker_passes",
+    "test_refined_detector_improves_iou",
+    "test_skin_detector_downsampled_matches_full",
+    "test_multistream_fused_kernel_sharded",
+    "test_measure_ica_recovers_bpm",
+    "test_tiled_detector_survives_skin_background",
+    "test_pooled_gated_detect_recovers_bpm",
+    "test_roi_detector_pose_robust_pipeline",
+    "test_projection_plugins_registered",
 }
 
 

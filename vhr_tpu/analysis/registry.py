@@ -31,6 +31,8 @@ _DEGRADATIONS: Dict[str, str] = {
 _MEASUREMENTS: Dict[str, str] = {
     "green_avg": "vhr_tpu.analysis.measurement.green_avg",
     "ica": "vhr_tpu.analysis.measurement.ica",
+    "chrom": "vhr_tpu.analysis.measurement.chrom",
+    "pos": "vhr_tpu.analysis.measurement.pos",
     "green_avg_psd": "vhr_tpu.analysis.measurement.green_avg_psd",
     "app_welch": "vhr_tpu.analysis.measurement.app_welch",
     "evm": "vhr_tpu.analysis.measurement.evm",

@@ -303,6 +303,37 @@ def measure_green_avg(frames: jnp.ndarray, fps: float,
     return ts, np.asarray(rolling.bpm), np.asarray(valid)
 
 
+def measure_projection(frames: jnp.ndarray, fps: float,
+                       method: str = "pos",
+                       cfg: PipelineConfig = PipelineConfig(),
+                       detector: Optional[DetectorFn] = None,
+                       use_pallas: bool = False
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chrominance-projection measures: ``method`` in {"chrom", "pos"}.
+
+    Same contract as :func:`measure_green_avg` but the scalar pulse comes
+    from a motion-robust RGB projection (``dsp.projections``) instead of
+    the raw green mean — beyond the reference's method set
+    (``analysis/measurement/``), these reject common-mode intensity
+    changes (lighting flicker, small motion) by construction.
+    """
+    from ..dsp.projections import chrom_pulse, pos_pulse
+
+    trace = extract_signals(frames, cfg, detector, use_pallas)
+    fn = {"chrom": chrom_pulse, "pos": pos_pulse}[method]
+    pulse = fn(trace.bgr, trace.valid, fps)
+    rolling = vwin.rolling_bpm(
+        pulse, fps, cfg.band,
+        window_len=cfg.window_len(fps),
+        acquisition_len=cfg.acquisition_len(fps),
+        estimator=cfg.estimator,
+        segment_seconds=cfg.welch.segment_seconds)
+    T = frames.shape[0]
+    ts = np.arange(T) / fps
+    valid = jnp.logical_and(rolling.valid, trace.valid)
+    return ts, np.asarray(rolling.bpm), np.asarray(valid)
+
+
 def measure_ica(frames: jnp.ndarray, fps: float,
                 cfg: PipelineConfig = PipelineConfig(),
                 icacfg: ICAConfig = ICAConfig(),
