@@ -184,3 +184,23 @@ def test_streaming_fused_matches_whole_video(tmp_path):
     np.testing.assert_array_equal(valid, np.asarray(whole.roi_valid))
     np.testing.assert_allclose(bgr, np.asarray(whole.means),
                                rtol=1e-6, atol=1e-5)
+
+
+def test_accuracy_metric_computation(tmp_path):
+    from vhr_tpu.analysis.metrics import accuracy
+
+    truth = np.array([[0.0, 70.0], [10.0, 70.0]])
+    results = {"m": {"a": np.array([[1.0, 73.0], [2.0, 64.0]]),
+                     "b": np.empty((0, 2))}}
+    stats = accuracy.compute(truth, results)
+    s = stats["m"]["a"]
+    assert s["rmse"] == pytest.approx(np.sqrt((9 + 36) / 2))
+    assert s["pte5"] == pytest.approx(50.0)
+    assert s["pte10"] == pytest.approx(100.0)
+    assert np.isnan(stats["m"]["b"]["rmse"])
+
+    accuracy.plot(truth, {"m": results["m"]}, "dummy", str(tmp_path))
+    assert (tmp_path / "accuracy_vs_dummy.png").exists()
+    csv = (tmp_path / "accuracy_vs_dummy.csv").read_text()
+    assert csv.splitlines()[0] == "method,degradation,rmse,pte5,pte10,corr"
+    assert "m,a," in csv

@@ -42,6 +42,7 @@ _MEASUREMENTS: Dict[str, str] = {
 _METRICS: Dict[str, str] = {
     "mae": "vhr_tpu.analysis.metrics.mae",
     "signals": "vhr_tpu.analysis.metrics.signals",
+    "accuracy": "vhr_tpu.analysis.metrics.accuracy",
 }
 
 
