@@ -82,7 +82,8 @@ def analyze_multi(video_path: str, k_faces: int):
     cfg = PipelineConfig(window_seconds=10.0, acquisition_seconds=5.0,
                          band=BAND_VIDEO, estimator="welch")
     trace = offline.extract_signals_multi(fj, k_faces, cfg)
-    ts, bpm, ok = offline.measure_green_avg_multi(fj, fps, k_faces, cfg)
+    ts, bpm, ok = offline.measure_green_avg_multi(fj, fps, k_faces, cfg,
+                                                  trace=trace)
     return {"fps": fps, "frames": frames, "ts": ts,
             "green": np.asarray(trace.bgr[..., 1]),       # (T, K)
             "boxes": np.asarray(trace.boxes),             # (T, K, 4)

@@ -32,6 +32,7 @@ __all__ = [
     "odd_ext",
     "sos_stream_init",
     "sos_stream_push",
+    "forward_fill",
 ]
 
 
@@ -271,3 +272,29 @@ def sos_stream_push(sos, z: jnp.ndarray, x_t: jnp.ndarray
         new_z.append(jnp.stack([z0, z1]))
         cur = y
     return cur, jnp.stack(new_z)
+
+
+def forward_fill(x: jnp.ndarray, valid: jnp.ndarray,
+                 init: str = "zeros") -> jnp.ndarray:
+    """Carry the last valid sample forward over dropout gaps (a scan).
+
+    The shared dropout-handling primitive for every measurement path
+    (green/ICA traces via ``pipeline.offline``, chrominance projections via
+    ``dsp.projections``).  ``x`` is ``(T,)`` or ``(T, C)``; ``valid`` is
+    ``(T,)``.  ``init`` selects what leading-invalid samples become:
+    ``"zeros"`` (the offline pipeline's reference-parity choice — masked
+    out downstream anyway) or ``"first_valid"`` (projections: avoids a
+    fake leading step edge in the normalized windows).
+    """
+    if init == "first_valid":
+        start = x[jnp.argmax(valid)]
+    else:
+        start = jnp.zeros_like(x[0])
+
+    def step(carry, inp):
+        v, ok = inp
+        new = jnp.where(ok, v, carry)
+        return new, new
+
+    _, filled = jax.lax.scan(step, start, (x, valid))
+    return filled

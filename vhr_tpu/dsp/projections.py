@@ -30,22 +30,23 @@ __all__ = ["chrom_pulse", "pos_pulse"]
 
 
 def _ffill_rows(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Forward-fill invalid frames per channel ((T, 3), (T,) mask)."""
-    def step(c, inp):
-        v, o = inp
-        n = jnp.where(o, v, c)
-        return n, n
-    init = x[jnp.argmax(valid)]          # first valid row (or row 0)
-    _, filled = jax.lax.scan(step, init, (x, valid))
-    return filled
+    """Forward-fill invalid frames ((T, 3), (T,)); first-valid init avoids
+    a fake step edge in the leading normalized windows."""
+    from .filters import forward_fill
+    return forward_fill(x, valid, init="first_valid")
 
 
 def _windows(T: int, L: int, stride: int) -> np.ndarray:
-    """Static (n_windows, L) frame-index table; last window clamps to T."""
+    """Static (n_windows, L) frame-index table covering every frame: the
+    last window is pinned to end exactly at T, so strides that don't divide
+    T-L still leave no uncovered (zero-pulse) tail."""
+    L = min(L, T)
     starts = np.arange(0, max(T - L, 0) + 1, stride)
     if len(starts) == 0:
         starts = np.array([0])
-    return starts[:, None] + np.arange(min(L, T))[None, :]
+    if starts[-1] != T - L:
+        starts = np.append(starts, T - L)
+    return starts[:, None] + np.arange(L)[None, :]
 
 
 def chrom_pulse(bgr: jnp.ndarray, valid: jnp.ndarray, fps: float,

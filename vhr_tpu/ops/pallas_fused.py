@@ -324,8 +324,17 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
     output arrays (which Mosaic sizes by the launch's ``t_len``) stay under
     the ~1 MB SMEM budget (measured cliff between T=512 and T=960 at 1080p).
     """
-    T, H, W, C = frames.shape
-    assert C == 3
+    if frames.ndim == 3:
+        # Pre-flattened (T, H, W*3): the zero-copy layout — an in-jit 4D
+        # reshape at this custom-call boundary materializes a full HBM
+        # copy (docs/PERFORMANCE.md rule 2); streaming callers flatten on
+        # the host instead.
+        T, H, WC = frames.shape
+        assert WC % 3 == 0
+        W, C = WC // 3, 3
+    else:
+        T, H, W, C = frames.shape
+        assert C == 3
     static_start = isinstance(t_start, (int, np.integer))
     if t_len is None:
         assert static_start, "t_len is required when t_start is traced"
@@ -349,7 +358,7 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
                                rescan_every=rescan_every,
                                row_pool=detect_row_pool, seq_len=seq_len)
 
-    flat = frames.reshape(T, H, wc)
+    flat = frames if frames.ndim == 3 else frames.reshape(T, H, wc)
     t0 = jnp.reshape(jnp.asarray(t_start, jnp.int32), (1,))
     # ``phase`` is the first frame's GLOBAL index for the detect_every /
     # rescan_every / seq_len cadences — it may be a traced scalar (e.g. the

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "roi_channel_means",
+    "roi_channel_means_multi",
     "grayscale_u8",
     "frame_entropy",
     "frame_noise_variance",
@@ -58,6 +59,42 @@ def roi_channel_means(frames: jnp.ndarray, rois: jnp.ndarray
 
     count = (jnp.maximum(y2 - y1, 0) * jnp.maximum(x2 - x1, 0)).astype(jnp.float32)
     means = sums / jnp.maximum(count, 1.0)[:, None]
+    return means, count
+
+
+def roi_channel_means_multi(frames: jnp.ndarray, rois: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K ROIs per frame with ONE pass over the frame tensor.
+
+    A vmap of :func:`roi_channel_means` over the face axis re-reads the
+    whole ``(T, H, W, C)`` tensor K times; here the K column masks join the
+    first einsum so HBM traffic stays one frame read regardless of K (the
+    multi-subject monitoring hot path, offline and live).
+
+    Args:
+      frames: ``(T, H, W, C)`` uint8 (or float).
+      rois: ``(T, K, 4)`` int32 ``[x1, y1, x2, y2]`` (exclusive ends).
+    Returns:
+      ``(means (T, K, C) float32, count (T, K) float32)``.
+    """
+    T, H, W, C = frames.shape
+    x1, y1 = rois[..., 0], rois[..., 1]                     # (T, K)
+    x2, y2 = rois[..., 2], rois[..., 3]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, H), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    row_m = ((rows[:, None, :] >= y1[..., None])
+             & (rows[:, None, :] < y2[..., None]))          # (T, K, H)
+    col_m = ((cols[:, None, :] >= x1[..., None])
+             & (cols[:, None, :] < x2[..., None]))          # (T, K, W)
+
+    fr = frames.astype(jnp.float32)
+    partial = jnp.einsum("thwc,tkw->tkhc", fr, col_m.astype(jnp.float32))
+    sums = jnp.einsum("tkhc,tkh->tkc", partial, row_m.astype(jnp.float32))
+
+    count = (jnp.maximum(y2 - y1, 0)
+             * jnp.maximum(x2 - x1, 0)).astype(jnp.float32)  # (T, K)
+    means = sums / jnp.maximum(count, 1.0)[..., None]
     return means, count
 
 

@@ -250,32 +250,18 @@ def init_state_multi(cfg: LiveConfig = LiveConfig(),
     )
 
 
-def step_multi(state: MultiLiveState, frame: jnp.ndarray, cfg: LiveConfig,
-               k_faces: int = 2, detector=None
-               ) -> Tuple[MultiLiveState, LiveOutput]:
-    """One frame of K-subject live monitoring (pure; jit via
-    :func:`make_step_multi`).
-
-    The reference requests ``num_faces=2`` but only processes
-    ``face_landmarks[0]`` (``rppg_LIVESTREAM.py:308,339``); here every slot
-    gets the full live treatment: per-frame top-K detection, the
-    identity-matched K-track holdover (``ops.roi.holdover_multi_step`` —
-    bit-identical semantics to the offline scan), and a vmapped per-face
-    ROI-mean -> streaming-SOS -> masked-Welch chain.  Output fields carry a
-    leading ``(K,)`` face axis.
-
-    ``detector`` overrides detection with any ``frames -> (boxes (1, K, 4),
-    valid (1, K))`` callable (e.g. ``cascade.make_tiled_detector_multi``).
-    """
+def _step_multi_impl(state: MultiLiveState, frame: jnp.ndarray,
+                     det_args, cfg: LiveConfig, k_faces: int, det_fn
+                     ) -> Tuple[MultiLiveState, LiveOutput]:
     from ..models.multiface import detect_faces_multi
 
     H, W, _ = frame.shape
     sos = _sos(cfg)
 
-    if detector is None:
+    if det_fn is None:
         cand, cval = detect_faces_multi(frame[None], k_faces)
     else:
-        cand, cval = detector(frame[None])
+        cand, cval = det_fn(*det_args, frame[None])
     carry = (state.last_box, state.hold_budget, state.has_last)
     (new_last, new_budget, new_has), (boxes, face_valid) = \
         vroi.holdover_multi_step(carry, cand[0], cval[0],
@@ -283,9 +269,10 @@ def step_multi(state: MultiLiveState, frame: jnp.ndarray, cfg: LiveConfig,
 
     rois = vroi.cheek_roi(boxes, cfg.roi, W, H)               # (K, 4)
     rois = jnp.where(face_valid[:, None], rois, 0)
-    means, _ = vreduce.roi_channel_means(
-        jnp.broadcast_to(frame[None], (k_faces,) + frame.shape), rois)
-    green = means[:, 1]                                       # (K,)
+    # One frame read for all K ROIs (not a K-fold broadcast) — this is the
+    # 33 ms-budget path.
+    means, _ = vreduce.roi_channel_means_multi(frame[None], rois[None])
+    green = means[0, :, 1]                                    # (K,)
 
     filt, zi = jax.vmap(lambda z, g: filters.sos_stream_push(sos, z, g))(
         state.zi, green)
@@ -317,12 +304,47 @@ def step_multi(state: MultiLiveState, frame: jnp.ndarray, cfg: LiveConfig,
     return new_state, out
 
 
+def step_multi(state: MultiLiveState, frame: jnp.ndarray, cfg: LiveConfig,
+               k_faces: int = 2, detector=None
+               ) -> Tuple[MultiLiveState, LiveOutput]:
+    """One frame of K-subject live monitoring (pure; jit via
+    :func:`make_step_multi`).
+
+    The reference requests ``num_faces=2`` but only processes
+    ``face_landmarks[0]`` (``rppg_LIVESTREAM.py:308,339``); here every slot
+    gets the full live treatment: per-frame top-K detection, the
+    identity-matched K-track holdover (``ops.roi.holdover_multi_step`` —
+    bit-identical semantics to the offline scan), a single-frame-read
+    K-ROI reduction, and a vmapped per-face streaming-SOS -> masked-Welch
+    chain.  Output fields carry a leading ``(K,)`` face axis.
+
+    ``detector`` overrides detection with any ``frames -> (boxes (1, K, 4),
+    valid (1, K))`` callable (e.g. ``cascade.make_tiled_detector_multi``).
+    ``cfg.use_fused`` is single-face only — rejected here rather than
+    silently ignored.
+    """
+    if cfg.use_fused:
+        raise ValueError("use_fused is single-face (pipeline.live.step); "
+                         "step_multi runs the multi-face detector path")
+    from .offline import _split_detector as _split
+    det_fn, det_args = (None, ()) if detector is None else _split(detector)
+    return _step_multi_impl(state, frame, det_args, cfg, k_faces, det_fn)
+
+
 def make_step_multi(cfg: LiveConfig = LiveConfig(), k_faces: int = 2,
                     detector=None, donate: bool = True):
     """Compiled K-subject per-frame step (state donated).
 
-    A ``jax.tree_util.Partial`` detector's weights ride as traced args of
-    the Partial itself — not baked XLA literals."""
-    f = functools.partial(step_multi, cfg=cfg, k_faces=k_faces,
-                          detector=detector)
-    return jax.jit(f, donate_argnums=(0,) if donate else ())
+    A ``jax.tree_util.Partial`` detector is split into its (static)
+    function and (traced) weight pytree — the weights enter the jitted
+    program as arguments bound at call time, never as baked XLA literal
+    constants (the ADVICE-r1 slow-compile failure mode)."""
+    if cfg.use_fused:
+        raise ValueError("use_fused is single-face (pipeline.live.step); "
+                         "make_step_multi runs the multi-face detector path")
+    from .offline import _split_detector as _split
+    det_fn, det_args = (None, ()) if detector is None else _split(detector)
+    f = functools.partial(_step_multi_impl, cfg=cfg, k_faces=k_faces,
+                          det_fn=det_fn)
+    jitted = jax.jit(f, donate_argnums=(0,) if donate else ())
+    return lambda state, frame: jitted(state, frame, det_args)

@@ -208,10 +208,7 @@ def _extract_signals_multi_jit(frames, det_args, k_faces, cfg, det, det_fn):
     rois = vroi.cheek_roi(track.box, cfg.roi, W, H)          # (T, K, 4)
     rois = jnp.where(track.valid[..., None], rois, 0)
 
-    def means_one(r):
-        m, _ = vreduce.roi_channel_means(frames, r)
-        return m
-    means = jax.vmap(means_one, in_axes=1, out_axes=1)(rois)  # (T, K, 3)
+    means, _ = vreduce.roi_channel_means_multi(frames, rois)  # (T, K, 3)
     return SignalTrace(bgr=means, valid=track.valid, rois=rois,
                        boxes=track.box)
 
@@ -249,11 +246,18 @@ def extract_signals_multi(frames: jnp.ndarray, k_faces: int = 2,
 def measure_green_avg_multi(frames: jnp.ndarray, fps: float,
                             k_faces: int = 2,
                             cfg: PipelineConfig = PipelineConfig(),
-                            det=None, detector=None
+                            det=None, detector=None, trace=None
                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-face green-channel BPM traces: ``(ts (T,), bpm (T, K), valid
-    (T, K))`` — K independent subjects monitored from one clip."""
-    trace = extract_signals_multi(frames, k_faces, cfg, det, detector)
+    (T, K))`` — K independent subjects monitored from one clip.
+
+    Pass ``trace`` (a multi-face :class:`SignalTrace` from
+    :func:`extract_signals_multi`) to reuse an extraction you already have
+    — callers that also want the boxes/ROIs (e.g. the annotating video app)
+    would otherwise run detection twice.
+    """
+    if trace is None:
+        trace = extract_signals_multi(frames, k_faces, cfg, det, detector)
     T = frames.shape[0]
     ts = np.arange(T) / fps
     bpm = np.zeros((T, k_faces), np.float32)
@@ -271,13 +275,14 @@ def measure_green_avg_multi(frames: jnp.ndarray, fps: float,
 
 
 def _fill_invalid(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Carry the last valid sample forward over dropouts (scan)."""
-    def step(carry, inp):
-        v, ok = inp
-        new = jnp.where(ok, v, carry)
-        return new, new
-    _, filled = jax.lax.scan(step, jnp.zeros_like(x[0]), (x, valid))
-    return filled
+    """Carry the last valid sample forward over dropouts (scan).
+
+    Delegates to the shared primitive (``dsp.filters.forward_fill``) with
+    zero init — leading-invalid frames stay 0 (reference parity; they are
+    masked out downstream regardless).
+    """
+    from ..dsp.filters import forward_fill
+    return forward_fill(x, valid, init="zeros")
 
 
 def measure_green_avg(frames: jnp.ndarray, fps: float,
@@ -510,14 +515,17 @@ def extract_signals_streaming(video_path: str,
         interp = jax.default_backend() != "tpu"
 
         @jax.jit
-        def chunk_step(frames, _unused, state):
+        def chunk_step(frames_flat, _unused, state):
+            # frames_flat is the host-flattened (T, H, W*3) chunk — fed to
+            # the kernel as-is (no in-jit 4D reshape copy at the custom
+            # call; docs/PERFORMANCE.md rule 2).
             fcarry, phase = state
             res, fcarry = fused_detect_roi_carry(
-                frames, fcarry, roi=cfg.roi,
+                frames_flat, fcarry, roi=cfg.roi,
                 detect_row_pool=detect_row_pool, gate_margin=gate_margin,
-                interpret=interp, t_len=frames.shape[0], phase=phase)
+                interpret=interp, t_len=frames_flat.shape[0], phase=phase)
             return res.means, res.roi_valid, (fcarry,
-                                              phase + frames.shape[0])
+                                              phase + frames_flat.shape[0])
 
         carry = (init_carry(), jnp.int32(0))
     else:
@@ -549,12 +557,11 @@ def extract_signals_streaming(video_path: str,
 
         carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0),
                  jnp.asarray(False))
-    if use_fused:
-        prep = jnp.asarray
-    else:
-        # Host-side flatten (a free view of the contiguous decode buffer).
-        def prep(c):
-            return jnp.asarray(c.reshape(c.shape[0], c.shape[1], -1))
+    # Host-side flatten (a free view of the contiguous decode buffer);
+    # both the fused kernel and the batched ROI kernel take (T, H, W*3)
+    # directly, so no in-jit reshape copy at the custom-call boundary.
+    def prep(c):
+        return jnp.asarray(c.reshape(c.shape[0], c.shape[1], -1))
 
     bgr_parts, valid_parts = [], []
     if reader is not None:
