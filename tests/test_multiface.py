@@ -153,3 +153,14 @@ def test_single_candidate_degrades_gracefully():
     v = np.asarray(valid)
     assert v[:, 0].all() and not v[:, 1].any()
     assert (np.asarray(boxes)[:, 1] == 0).all()
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="no trained checkpoint")
+def test_tiled_detector_no_face_no_detection():
+    """False-positive control: a faceless scene (background + noise only)
+    yields zero valid slots — the presence head, NMS threshold, and refine
+    veto must not hallucinate subjects."""
+    duo = synthesize_multi((), height=144, width=256, duration_s=1.0,
+                           noise_std=2.0, background_bgr=(60.0,) * 3)
+    b, v = _tiled_det()(jnp.asarray(duo.frames))
+    assert not np.asarray(v).any()
