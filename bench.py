@@ -315,7 +315,8 @@ def bench_multistream() -> dict:
             + jax.lax.rem(i, jnp.uint8(8)))
         res = streams.multistream_green_bpm(
             frames, fps, smesh, cfg, use_fused=on_tpu,
-            detect_row_pool=8 if on_tpu else 1)
+            detect_row_pool=8 if on_tpu else 1,
+            gate_margin=0.15 if on_tpu else None)
         return jnp.sum(res.bpm), jnp.sum(res.valid.astype(jnp.int32))
 
     @jax.jit
@@ -343,7 +344,7 @@ def bench_multistream() -> dict:
         "unit": "frames/sec",
         "config": {"streams": S, "chunk_frames": T, "h": H, "w": W,
                    "reps": REPS, "detection_downsample": det.downsample,
-                   "fused_detection": "full-frame, 8-row mean-pooled",
+                   "fused_detection": "8-row mean-pooled, gate_margin=0.15 (tracked-band + cadenced full rescans)",
                    "valid_frames": n_valid},
     }
 
