@@ -139,10 +139,18 @@ def synth_batch(cfg: TrainConfig, rng: np.random.Generator
 
 
 def train(cfg: TrainConfig, steps: int, seed: int = 0, mesh: Mesh = None,
-          log_every: int = 0):
-    """Train the landmarker on synthetic faces; returns (model, params, losses)."""
+          log_every: int = 0, init_params=None):
+    """Train the landmarker on synthetic faces; returns (model, params, losses).
+
+    ``init_params`` warm-starts from an existing checkpoint (fine-tuning:
+    pair with a lower ``cfg.learning_rate`` / shorter ``cfg.total_steps``
+    cosine horizon); the optimizer state starts fresh.
+    """
     rng = np.random.default_rng(seed)
     model, params, tx, opt_state = init_state(cfg, jax.random.PRNGKey(seed))
+    if init_params is not None:
+        params = init_params
+        opt_state = tx.init(params)
     step = make_train_step(model, tx, cfg, mesh=mesh, params_example=params)
     if mesh is not None:
         params = jax.tree.map(jax.device_put, params,
@@ -214,13 +222,17 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None, help="checkpoint dir")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to warm-start (fine-tune) from")
     ap.add_argument("--eval-clips", type=int, default=12)
     args = ap.parse_args(argv)
 
     cfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                       total_steps=args.steps)
+    init_params = ckpt.load_params(args.resume) if args.resume else None
     model, params, losses = train(cfg, args.steps, seed=args.seed,
-                                  log_every=max(1, args.steps // 20))
+                                  log_every=max(1, args.steps // 20),
+                                  init_params=init_params)
     iou_ho = evaluate_iou(params, cfg, n_clips=args.eval_clips,
                           held_out=True)
     iou_tr = evaluate_iou(params, cfg, n_clips=args.eval_clips,
