@@ -1,3 +1,3 @@
 """DSP core: filter design (host numpy) + filtering/spectral/ICA on TPU."""
 
-from . import design, filters, ica, spectral  # noqa: F401
+from . import design, filters, ica, projections, spectral  # noqa: F401

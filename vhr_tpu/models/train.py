@@ -164,7 +164,11 @@ def train(cfg: TrainConfig, steps: int, seed: int = 0, mesh: Mesh = None,
         # sync every few steps keeps the async queue bounded (deep queues
         # hang the relay).
         losses_dev.append(loss)
-        if (i + 1) % 8 == 0:
+        if (i + 1) % 2 == 0:
+            # Shallow queue: behind the remote relay a >=8-deep async queue
+            # was observed to hard-hang mid-run (r2 fine-tune); a 2-step
+            # queue still overlaps batch gen with device compute and the
+            # extra syncs cost only ~25 ms RTT each.
             jax.block_until_ready(loss)
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i + 1}/{steps}: loss={float(loss):.4f} "
