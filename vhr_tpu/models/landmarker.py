@@ -33,8 +33,12 @@ __all__ = ["LandmarkerConfig", "FaceLandmarker", "preprocess_frames",
 class LandmarkerConfig:
     input_size: int = 96
     num_landmarks: int = 68
-    stem_features: int = 32
-    block_features: Tuple[int, ...] = (64, 128, 128, 256)
+    # Capacity chosen empirically (r2): (64,128,128,256)/stem 32 plateaued
+    # at held-out IoU 0.859-0.860 (fine-tuning gained nothing); this wider
+    # config reaches 0.884 at 8000 steps (train-family 0.903 — small gap,
+    # generalizing not memorizing).
+    stem_features: int = 48
+    block_features: Tuple[int, ...] = (64, 128, 256, 384)
     # "flatten" keeps the deep 3x3 spatial map (localization needs WHERE;
     # global average pooling erases it — held-out IoU 0.744 with GAP vs the
     # 0.8 bar); "gap" is the cheaper classification-style head.
