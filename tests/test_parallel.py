@@ -146,3 +146,34 @@ def test_sharded_steady_bpm_matches_unsharded(devices):
     assert not valid[:W - 1].any()
     np.testing.assert_array_equal(valid[W - 1:], ref_valid[W - 1:])
     np.testing.assert_allclose(bpm[valid], ref_bpm[valid], atol=1e-9)
+
+
+def test_multistream_degradation_sweep_on_device(devices):
+    """BASELINE config 5's full wording — concurrent streams x degradation
+    sweep: each stream carries a different Gaussian-noise degradation level
+    (the colour_noise ladder), applied ON DEVICE, and the sharded pipeline
+    recovers every stream's BPM in one program; accuracy decays
+    monotonically-ish with sigma but stays in-band across the ladder."""
+    m = vmesh.stream_mesh(devices)
+    base = synthesize(SynthSpec(duration_s=12.0, bpm=75.0, height=48,
+                                width=64, seed=3, noise_std=0.0))
+    frames = jnp.asarray(np.stack([base.frames] * 8))
+    sigmas = jnp.asarray([0.0, 1.0, 2.0, 4.0, 6.0, 8.0, 12.0, 16.0])
+
+    def noisy(fr, sd, key):
+        n = sd * jax.random.normal(key, fr.shape, jnp.float32)
+        return jnp.clip(fr.astype(jnp.float32) + n, 0, 255).astype(jnp.uint8)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    frames = jax.jit(jax.vmap(noisy))(frames, sigmas, keys)
+
+    fps = base.fps
+    cfg = PipelineConfig(window_seconds=8.0, acquisition_seconds=4.0)
+    frames = vmesh.shard(frames, m, "stream")
+    res = streams.multistream_green_bpm(frames, fps, m, cfg)
+    bpm, valid = np.asarray(res.bpm), np.asarray(res.valid)
+    W = cfg.window_len(fps)
+    for i in range(8):
+        assert valid[i, W:].all(), f"stream {i} lost validity"
+        err = np.abs(bpm[i, W:] - 75.0)
+        assert err.mean() <= 8.0, f"sigma={float(sigmas[i])}: {err.mean()}"
