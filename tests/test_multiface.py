@@ -112,8 +112,10 @@ def test_tiled_detector_survives_skin_background():
     # Bar calibrated to the shipped checkpoint on this flat-ellipse
     # fixture (measured 0.69/0.83 — the wide r2 model boxes these sharp
     # synthetic ellipses slightly tighter than the facegen faces it
-    # trains on, where it scores 0.91 on the same background row).
+    # trains on, where it scores 0.91 on the same background row).  The
+    # cross-face mean keeps a drift tripwire above the per-face floor.
     assert (ious.mean(axis=0) >= 0.65).all(), ious.mean(axis=0)
+    assert float(ious.mean()) >= 0.74, float(ious.mean())
 
 
 @pytest.mark.skipif(not CKPT.exists(), reason="no trained checkpoint")

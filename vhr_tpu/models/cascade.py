@@ -206,7 +206,10 @@ def tiled_landmark_proposals(params, frames: jnp.ndarray,
     T, H, W, _ = frames.shape
     wins_np = _tile_windows(H, W, scales)                    # (Nw, 4)
     Nw = len(wins_np)
-    G = max(1, min(window_batch, Nw))
+    # Cap the group so G*T crop stacks stay ~50 MB regardless of clip
+    # length: grouping exists for the T~1 live path; whole-clip offline
+    # callers fall back to window-at-a-time (the memory-bounded design).
+    G = max(1, min(window_batch, Nw, max(1, 512 // max(T, 1))))
     n_groups = -(-Nw // G)
     pad = n_groups * G - Nw
     if pad:                  # repeat the last window; masked out below

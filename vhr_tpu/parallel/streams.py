@@ -53,13 +53,10 @@ def _single_stream(frames, fps: float, cfg: PipelineConfig,
 
 
 def _ffill(x, ok):
-    """Carry the last valid sample forward over dropouts (per stream)."""
-    def step(c, inp):
-        v, o = inp
-        n = jnp.where(o, v, c)
-        return n, n
-    _, filled = jax.lax.scan(step, jnp.zeros_like(x[0]), (x, ok))
-    return filled
+    """Carry the last valid sample forward over dropouts (per stream) —
+    the shared primitive, zero init (masked out downstream)."""
+    from ..dsp.filters import forward_fill
+    return forward_fill(x, ok, init="zeros")
 
 
 def _single_stream_fused(frames, fps: float, cfg: PipelineConfig,

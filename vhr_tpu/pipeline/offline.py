@@ -64,6 +64,12 @@ def _split_detector(detector: Optional[DetectorFn]):
     """
     det = detector or skin_detector.detect_faces
     if isinstance(det, jax.tree_util.Partial):
+        if det.keywords:
+            # Callers invoke det_fn(*det_args, frames); silently dropping
+            # keyword-bound leaves would run with missing/default weights.
+            raise ValueError(
+                "detector Partial binds keyword args; bind weights "
+                "positionally (jax.tree_util.Partial(fn, params))")
         return det.func, tuple(det.args)
     return det, ()
 
@@ -258,6 +264,10 @@ def measure_green_avg_multi(frames: jnp.ndarray, fps: float,
     """
     if trace is None:
         trace = extract_signals_multi(frames, k_faces, cfg, det, detector)
+    elif trace.bgr.shape[1] != k_faces:
+        # jnp index clamping would silently duplicate a face otherwise.
+        raise ValueError(f"trace has {trace.bgr.shape[1]} face slots, "
+                         f"k_faces={k_faces}")
     T = frames.shape[0]
     ts = np.arange(T) / fps
     bpm = np.zeros((T, k_faces), np.float32)
