@@ -235,3 +235,37 @@ def test_extract_signals_landmark_roi_wiring(clip):
     m_ref, _ = vreduce.roi_channel_means(frames, trace.rois)
     np.testing.assert_allclose(np.asarray(trace.bgr), np.asarray(m_ref),
                                rtol=1e-6)
+
+
+def test_roi_site_forehead_pipeline():
+    """roi_site="forehead" measures the second ROI the reference only ever
+    draws (rppg_VIDEO.py:102): the ROI sits in the face's upper band and
+    the BPM still recovers (the synthetic pulse spans the face)."""
+    from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+    clip = synthesize(SynthSpec(duration_s=12.0, bpm=81.0, height=64,
+                                width=80, noise_std=0.5))
+    fj = jnp.asarray(clip.frames)
+    cheek = offline.extract_signals(
+        fj, PipelineConfig(roi_site="cheek"))
+    fore = offline.extract_signals(
+        fj, PipelineConfig(roi_site="forehead"))
+    assert bool(np.asarray(fore.valid).all())
+    # Forehead band lies strictly above the cheek band within the same box.
+    assert (np.asarray(fore.rois)[:, 3] <= np.asarray(cheek.rois)[:, 1] + 1).all()
+    cfg = PipelineConfig(window_seconds=8.0, acquisition_seconds=4.0,
+                         roi_site="forehead")
+    ts, bpm, ok = offline.measure_green_avg(fj, clip.fps, cfg)
+    W = cfg.window_len(clip.fps)
+    assert ok[W:].all()
+    assert abs(float(np.median(bpm[W:])) - 81.0) <= 3.5
+
+
+def test_roi_site_fused_guard():
+    import pytest as _pytest
+    from vhr_tpu.utils.synth import SynthSpec, synthesize
+    clip = synthesize(SynthSpec(duration_s=1.0, height=48, width=128))
+    with _pytest.raises(ValueError, match="cheek ROI geometry"):
+        offline.extract_signals(jnp.asarray(clip.frames),
+                                PipelineConfig(roi_site="forehead"),
+                                use_pallas=True)

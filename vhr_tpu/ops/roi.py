@@ -26,6 +26,7 @@ __all__ = [
     "cheek_roi",
     "cheek_roi_from_landmarks",
     "forehead_roi",
+    "measurement_roi",
     "holdover",
     "holdover_multi",
     "holdover_multi_step",
@@ -101,6 +102,16 @@ def forehead_roi(bbox: jnp.ndarray, cfg: ROIConfig, width: int, height: int
                  ) -> jnp.ndarray:
     return roi_from_bbox(bbox, cfg.forehead_horizontal, cfg.forehead_top,
                          cfg.forehead_bottom, width, height)
+
+
+def measurement_roi(bbox: jnp.ndarray, cfg: ROIConfig, width: int,
+                    height: int, site: str = "cheek") -> jnp.ndarray:
+    """The configured measurement site's ROI (``PipelineConfig.roi_site``)."""
+    if site == "cheek":
+        return cheek_roi(bbox, cfg, width, height)
+    if site == "forehead":
+        return forehead_roi(bbox, cfg, width, height)
+    raise ValueError(f"unknown roi_site {site!r} (cheek|forehead)")
 
 
 def roi_from_landmarks(landmarks: jnp.ndarray, horizontal: float,

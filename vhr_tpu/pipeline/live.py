@@ -48,6 +48,9 @@ class LiveConfig:
     use_fused: bool = False
     detect_row_pool: int = 1
     gate_margin: Optional[float] = None
+    # Measurement site ("cheek" | "forehead"); the fused kernel is
+    # cheek-only (PipelineConfig.roi_site semantics).
+    roi_site: str = "cheek"
 
 
 class LiveState(NamedTuple):
@@ -150,6 +153,9 @@ def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig
     sos = _sos(cfg)
 
     if cfg.use_fused:
+        if cfg.roi_site != "cheek":
+            raise ValueError("the fused kernel bakes cheek ROI geometry; "
+                             "roi_site='forehead' needs use_fused=False")
         # Single-HBM-pass kernel: detection + ROI reduction in one read; the
         # tracking carry IS the LiveState's holdover fields.  The ROI comes
         # from the box tracked on previous frames (one-frame lag) and the
@@ -186,7 +192,8 @@ def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig
                                          state.hold_budget))
         face_valid = jnp.logical_or(v, reuse_ok)
 
-        roi = vroi.cheek_roi(new_last[None], cfg.roi, W, H)[0]
+        roi = vroi.measurement_roi(new_last[None], cfg.roi, W, H,
+                                   cfg.roi_site)[0]
         roi = jnp.where(face_valid, roi, 0)
         means, _ = vreduce.roi_channel_means(frame[None], roi[None])
         green = means[0, 1]
@@ -267,7 +274,8 @@ def _step_multi_impl(state: MultiLiveState, frame: jnp.ndarray,
         vroi.holdover_multi_step(carry, cand[0], cval[0],
                                  cfg.roi.landmark_hold_frames)
 
-    rois = vroi.cheek_roi(boxes, cfg.roi, W, H)               # (K, 4)
+    rois = vroi.measurement_roi(boxes, cfg.roi, W, H,
+                                cfg.roi_site)                 # (K, 4)
     rois = jnp.where(face_valid[:, None], rois, 0)
     # One frame read for all K ROIs (not a K-fold broadcast) — this is the
     # 33 ms-budget path.

@@ -80,7 +80,7 @@ def _extract_signals_jit(frames, det_args, cfg, det_fn, use_pallas):
     T, H, W, _ = frames.shape
     raw_boxes, raw_valid = det_fn(*det_args, frames)
     track = vroi.holdover(raw_boxes, raw_valid, cfg.roi.landmark_hold_frames)
-    rois = vroi.cheek_roi(track.box, cfg.roi, W, H)
+    rois = vroi.measurement_roi(track.box, cfg.roi, W, H, cfg.roi_site)
     rois = jnp.where(track.valid[:, None], rois, 0)
     if use_pallas:
         from ..ops.pallas_roi import roi_channel_means_pallas
@@ -117,6 +117,9 @@ def extract_signals(frames: jnp.ndarray,
         if detector is not None:
             raise ValueError("the fused Pallas path is the skin detector; "
                              "pass detector=None (or use_pallas='roi')")
+        if cfg.roi_site != "cheek":
+            raise ValueError("the fused kernel bakes cheek ROI geometry; "
+                             "roi_site='forehead' takes the XLA paths")
         return extract_signals_fused(frames, cfg, detect_every=detect_every)
     det_fn, det_args = _split_detector(detector)
     return _extract_signals_jit(frames, det_args, cfg=cfg, det_fn=det_fn,
@@ -211,7 +214,8 @@ def _extract_signals_multi_jit(frames, det_args, k_faces, cfg, det, det_fn):
     track = vroi.holdover_multi(raw_boxes, raw_valid,
                                 cfg.roi.landmark_hold_frames)  # (T, K, ...)
 
-    rois = vroi.cheek_roi(track.box, cfg.roi, W, H)          # (T, K, 4)
+    rois = vroi.measurement_roi(track.box, cfg.roi, W, H,
+                                cfg.roi_site)                # (T, K, 4)
     rois = jnp.where(track.valid[..., None], rois, 0)
 
     means, _ = vreduce.roi_channel_means_multi(frames, rois)  # (T, K, 3)
@@ -555,7 +559,8 @@ def extract_signals_streaming(video_path: str,
             boxes, valid = det_fn(*det_args, frames)
             track, carry = vroi_mod.holdover_with_carry(
                 boxes, valid, cfg.roi.landmark_hold_frames, carry)
-            rois = vroi_mod.cheek_roi(track.box, cfg.roi, W, H)
+            rois = vroi_mod.measurement_roi(track.box, cfg.roi, W, H,
+                                            cfg.roi_site)
             rois = jnp.where(track.valid[:, None], rois, 0)
             if batched_roi and H % 8 == 0:
                 from ..ops.pallas_roi import roi_channel_means_pallas_batched
