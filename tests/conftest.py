@@ -61,6 +61,7 @@ _SLOW_TESTS = {
     "test_pooled_gated_detect_recovers_bpm",
     "test_roi_detector_pose_robust_pipeline",
     "test_projection_plugins_registered",
+    "test_rppg_video_app_learned_detector",
 }
 
 

@@ -127,3 +127,18 @@ def test_rppg_video_app_multiface(tmp_path, capsys):
     assert set(vals) == {"face0", "face1"}
     assert abs(vals["face0"] - 60.0) <= 8.0     # welch bin ~6.7 BPM
     assert abs(vals["face1"] - 96.0) <= 8.0
+
+
+def test_rppg_video_app_learned_detector(clip_file, capsys):
+    """--detector landmarker routes the offline app through the learned
+    model (weights as traced Partial args) end to end."""
+    from vhr_tpu.apps import rppg_video
+    out_dir = clip_file["root"] / "video_out_lmk"
+    rc = rppg_video.main([str(clip_file["path"]), "--out-dir", str(out_dir),
+                          "--detector", "landmarker"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("BPM Butterworth")]
+    assert line
+    bpm = float(line[0].split(":")[1].split("|")[0])
+    assert abs(bpm - 75.0) <= 8.0

@@ -12,7 +12,7 @@ forehead ROI + BPM overlay, mirroring the reference's drawing at
 Usage::
 
     python -m vhr_tpu.apps.rppg_video VIDEO [--out-dir DIR] [--show]
-        [--faces K]
+        [--faces K] [--detector skin|landmarker|refined]
     python -m vhr_tpu.apps.rppg_video --videos-dir videos   # stdin picker
 """
 
@@ -29,7 +29,20 @@ from ..io import video as vio
 from ..pipeline import offline
 
 
-def analyze(video_path: str):
+def _resolve_detector(name: str):
+    """CLI detector choice -> pipeline detector callable (or None)."""
+    if name == "skin":
+        return None
+    if name == "landmarker":
+        from ..models.landmarker import load_default_detector
+        return load_default_detector()
+    if name == "refined":
+        from ..models.cascade import load_default_refined_detector
+        return load_default_refined_detector()
+    raise SystemExit(f"unknown detector {name!r} (skin|landmarker|refined)")
+
+
+def analyze(video_path: str, detector=None):
     """Run the app's three-filter analysis; returns a dict of traces."""
     import jax.numpy as jnp
 
@@ -39,7 +52,7 @@ def analyze(video_path: str):
     fj = jnp.asarray(frames)
 
     results = {"fps": fps, "frames": frames}
-    trace = offline.extract_signals(fj)
+    trace = offline.extract_signals(fj, detector=detector)
     results["green"] = np.asarray(trace.bgr[:, 1])
     results["boxes"] = np.asarray(trace.boxes)
     results["rois"] = np.asarray(trace.rois)
@@ -59,7 +72,8 @@ def analyze(video_path: str):
             window_seconds=10.0, band=BAND_VIDEO,
             filter=FilterConfig(kind=kind if kind != "fir" else "fir",
                                 order=order, fir_numtaps=41))
-        ts, bpm, valid = offline.measure_app_welch(fj, fps, cfg)
+        ts, bpm, valid = offline.measure_app_welch(fj, fps, cfg,
+                                                   detector=detector)
         results[f"bpm_{kind}"] = bpm
         results[f"valid_{kind}"] = valid
         results["ts"] = ts
@@ -216,6 +230,11 @@ def main(argv=None) -> int:
     p.add_argument("--faces", type=int, default=1,
                    help="analyze up to K subjects (annotated video + "
                         "per-face BPM traces)")
+    p.add_argument("--detector", default="skin",
+                   choices=["skin", "landmarker", "refined"],
+                   help="face localization: weight-free skin chroma "
+                        "(fastest), learned landmarker, or landmarker + "
+                        "crop self-refinement (most accurate)")
     args = p.parse_args(argv)
 
     path = args.video or pick_video(args.videos_dir)
@@ -228,7 +247,7 @@ def main(argv=None) -> int:
                 print(f"face{k} BPM: {results['bpm'][idx[-1], k]:.2f}")
         render_multi(results, args.out_dir)
         return 0
-    results = analyze(path)
+    results = analyze(path, detector=_resolve_detector(args.detector))
     last = np.nonzero(results["valid_butterworth"])[0]
     if len(last):
         i = last[-1]
