@@ -192,3 +192,42 @@ def test_live_multi_two_bpms():
     err = np.abs(bpms[-100:] - np.array([60.0, 96.0])[None, :])
     assert np.median(err[:, 0]) <= 7.0      # welch bin ~6.7 BPM
     assert np.median(err[:, 1]) <= 7.0
+
+
+def test_live_step_learned_detector():
+    """Single-face live step with the learned landmarker (the reference's
+    live mode IS MediaPipe): weights ride as call-time args, and the live
+    tracking matches the offline holdover frame-for-frame."""
+    from pathlib import Path
+    CKPT = Path(__file__).resolve().parent.parent / "checkpoints" / "landmarker"
+    if not CKPT.exists():
+        pytest.skip("no trained checkpoint")
+    from vhr_tpu.models.landmarker import load_default_detector
+    from vhr_tpu.ops import roi as vroi
+    from vhr_tpu.pipeline import offline
+
+    det = load_default_detector()
+    clip = synthesize(SynthSpec(duration_s=2.0, bpm=72.0, height=64,
+                                width=80, noise_std=0.5))
+    frames = jnp.asarray(clip.frames)
+    det_fn, det_args = offline._split_detector(det)
+    raw_b, raw_v = det_fn(*det_args, frames)
+    track = vroi.holdover(raw_b, raw_v)
+
+    cfg = live.LiveConfig(fps=clip.fps)
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False, detector=det)
+    boxes, valid = [], []
+    for f in clip.frames:
+        st, out = stp(st, jnp.asarray(f))
+        boxes.append(np.asarray(out.box))
+        valid.append(bool(out.face_valid))
+    np.testing.assert_array_equal(np.stack(boxes), np.asarray(track.box))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(track.valid))
+
+
+def test_live_fused_rejects_detector():
+    from vhr_tpu.models.landmarker import load_default_detector
+    with pytest.raises(ValueError, match="in-kernel skin detector"):
+        live.make_step(live.LiveConfig(use_fused=True),
+                       detector=load_default_detector())

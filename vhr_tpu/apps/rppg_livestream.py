@@ -10,6 +10,7 @@ Usage::
 
     python -m vhr_tpu.apps.rppg_livestream [--camera 0] [--video FILE]
         [--max-frames N] [--no-display] [--fused] [--faces K]
+        [--detector skin|landmarker|refined]
 
 ``--video`` replays a file as if it were a camera (useful headless);
 ``--no-display`` prints the BPM trace instead of opening windows;
@@ -26,7 +27,8 @@ import time
 import numpy as np
 
 
-def run(source, cfg, max_frames=None, display=True, k_faces=1) -> int:
+def run(source, cfg, max_frames=None, display=True, k_faces=1,
+        detector=None) -> int:
     import cv2
     import jax.numpy as jnp
 
@@ -40,10 +42,11 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1) -> int:
     cfg = dataclasses.replace(cfg, fps=float(fps))
     if k_faces > 1:
         state = live.init_state_multi(cfg, k_faces)
-        step = live.make_step_multi(cfg, k_faces, donate=False)
+        step = live.make_step_multi(cfg, k_faces, donate=False,
+                                    detector=detector)
     else:
         state = live.init_state(cfg)
-        step = live.make_step(cfg, donate=False)
+        step = live.make_step(cfg, donate=False, detector=detector)
 
     paused = False
     n = 0
@@ -113,10 +116,21 @@ def main(argv=None) -> int:
                    help="monitor up to K subjects at once (the reference "
                         "requests num_faces=2 but only processes face 0; "
                         "here every slot gets a full live chain)")
+    p.add_argument("--detector", default="skin",
+                   choices=["skin", "landmarker", "refined"],
+                   help="single-face localization model (the reference's "
+                        "live mode is MediaPipe, rppg_LIVESTREAM.py:336); "
+                        "--faces >1 uses its own multi-face detectors")
     args = p.parse_args(argv)
 
     if args.fused and args.faces > 1:
         p.error("--fused is single-face; drop it or use --faces 1")
+    if args.fused and args.detector != "skin":
+        p.error("--fused runs the in-kernel skin detector")
+    detector = None
+    if args.detector != "skin" and args.faces == 1:
+        from .rppg_video import _resolve_detector
+        detector = _resolve_detector(args.detector)
     cfg = live.LiveConfig()
     if args.fused:
         cfg = dataclasses.replace(cfg, use_fused=True, detect_row_pool=8,
@@ -124,7 +138,8 @@ def main(argv=None) -> int:
     source = args.video if args.video is not None else args.camera
     print("PRESS q to quit -- PRESS spacebar to pause")
     return run(source, cfg, max_frames=args.max_frames,
-               display=not args.no_display, k_faces=args.faces)
+               display=not args.no_display, k_faces=args.faces,
+               detector=detector)
 
 
 if __name__ == "__main__":

@@ -146,13 +146,32 @@ def _masked_welch_bpm(ordered: jnp.ndarray, n_valid: jnp.ndarray,
     return bpm, valid
 
 
-def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig
-         ) -> Tuple[LiveState, LiveOutput]:
-    """One frame update (pure; jit via :func:`make_step`)."""
+def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig,
+         detector=None) -> Tuple[LiveState, LiveOutput]:
+    """One frame update (pure; jit via :func:`make_step`).
+
+    ``detector`` overrides the skin-chroma stage with any single-face
+    ``frames (1, H, W, 3) -> (boxes (1, 4), valid (1,))`` callable (e.g.
+    the learned landmarker — the reference's live mode IS MediaPipe,
+    ``rppg_LIVESTREAM.py:336``); incompatible with ``use_fused``.
+    """
+    if detector is None:
+        det_fn, det_args = None, ()
+    else:
+        from .offline import _split_detector as _split
+        det_fn, det_args = _split(detector)
+    return _step_impl(state, frame, det_args, cfg, det_fn)
+
+
+def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
+               cfg: LiveConfig, det_fn) -> Tuple[LiveState, LiveOutput]:
     H, W, _ = frame.shape
     sos = _sos(cfg)
 
     if cfg.use_fused:
+        if det_fn is not None:
+            raise ValueError("use_fused runs the in-kernel skin detector; "
+                             "pass detector=None")
         if cfg.roi_site != "cheek":
             raise ValueError("the fused kernel bakes cheek ROI geometry; "
                              "roi_site='forehead' needs use_fused=False")
@@ -179,7 +198,10 @@ def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig
         new_budget = carry_out[4]
         new_has = carry_out[5] > 0
     else:
-        boxes, det_valid = skin_detector.detect_faces(frame[None])
+        if det_fn is None:
+            boxes, det_valid = skin_detector.detect_faces(frame[None])
+        else:
+            boxes, det_valid = det_fn(*det_args, frame[None])
         box, v = boxes[0], det_valid[0]
 
         # Landmark holdover, single-step (analysis/utils/roi.py:91-101 rule).
@@ -225,10 +247,23 @@ def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig
     return new_state, out
 
 
-def make_step(cfg: LiveConfig = LiveConfig(), donate: bool = True):
-    """The compiled per-frame step; state buffers donated to stay on device."""
-    f = functools.partial(step, cfg=cfg)
-    return jax.jit(f, donate_argnums=(0,) if donate else ())
+def make_step(cfg: LiveConfig = LiveConfig(), donate: bool = True,
+              detector=None):
+    """The compiled per-frame step; state buffers donated to stay on device.
+
+    A ``jax.tree_util.Partial`` detector's weights enter the jitted
+    program as call-time arguments (never baked XLA literals)."""
+    if detector is None:
+        det_fn, det_args = None, ()
+    else:
+        if cfg.use_fused:
+            raise ValueError("use_fused runs the in-kernel skin detector; "
+                             "pass detector=None")
+        from .offline import _split_detector as _split
+        det_fn, det_args = _split(detector)
+    f = functools.partial(_step_impl, cfg=cfg, det_fn=det_fn)
+    jitted = jax.jit(f, donate_argnums=(0,) if donate else ())
+    return lambda state, frame: jitted(state, frame, det_args)
 
 
 class MultiLiveState(NamedTuple):
