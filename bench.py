@@ -143,7 +143,11 @@ def bench_flagship() -> dict:
     assert n_valid >= 0.95 * expect, (n_valid, expect)
 
     return {
-        "metric": "offline_1080p_rppg_frames_per_sec_per_chip",
+        # Metric name versioned with the detection fidelity (ADVICE r2):
+        # r1's unversioned metric ran the full-res per-pixel skin test;
+        # _pool8 mean-pools detection rows by 8.  Keeping both names distinct
+        # stops historical BENCH json lines silently mixing fidelities.
+        "metric": "offline_1080p_rppg_frames_per_sec_per_chip_pool8",
         "value": round(fps_chip, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps_chip / BASELINE_FPS, 2),

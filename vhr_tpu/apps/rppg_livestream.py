@@ -128,9 +128,15 @@ def main(argv=None) -> int:
     if args.fused and args.detector != "skin":
         p.error("--fused runs the in-kernel skin detector")
     detector = None
-    if args.detector != "skin" and args.faces == 1:
-        from .rppg_video import _resolve_detector
-        detector = _resolve_detector(args.detector)
+    if args.detector != "skin":
+        if args.faces == 1:
+            from .rppg_video import _resolve_detector
+            detector = _resolve_detector(args.detector)
+        else:
+            # Multi-face honors --detector too (ADVICE r2): tiled learned
+            # proposals or the skin+refine cascade instead of pure chroma.
+            from .rppg_video import _resolve_detector_multi
+            detector = _resolve_detector_multi(args.detector, args.faces)
     cfg = live.LiveConfig()
     if args.fused:
         cfg = dataclasses.replace(cfg, use_fused=True, detect_row_pool=8,

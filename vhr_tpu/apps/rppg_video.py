@@ -42,6 +42,29 @@ def _resolve_detector(name: str):
     raise SystemExit(f"unknown detector {name!r} (skin|landmarker|refined)")
 
 
+def _resolve_detector_multi(name: str, k_faces: int):
+    """CLI detector choice -> *multi-face* detector callable (or None).
+
+    ``landmarker`` maps to the fully-learned tiled-proposal detector and
+    ``refined`` to the skin-proposal + crop-refine cascade — so
+    ``--detector`` is honored for ``--faces > 1`` instead of silently
+    falling back to the chroma multiface path (ADVICE r2)."""
+    if name == "skin":
+        return None
+    from ..models.landmarker import load_default_detector
+    from ..models.train import TrainConfig
+    params = load_default_detector().args[0]
+    if name == "landmarker":
+        from ..models.cascade import make_tiled_detector_multi
+        return make_tiled_detector_multi(params, TrainConfig().model,
+                                         k_faces=k_faces)
+    if name == "refined":
+        from ..models.cascade import make_cascade_detector_multi
+        return make_cascade_detector_multi(params, TrainConfig().model,
+                                           k_faces=k_faces)
+    raise SystemExit(f"unknown detector {name!r} (skin|landmarker|refined)")
+
+
 def analyze(video_path: str, detector=None):
     """Run the app's three-filter analysis; returns a dict of traces."""
     import jax.numpy as jnp
@@ -80,7 +103,7 @@ def analyze(video_path: str, detector=None):
     return results
 
 
-def analyze_multi(video_path: str, k_faces: int):
+def analyze_multi(video_path: str, k_faces: int, detector=None):
     """K-subject analysis: per-face cheek-green traces + Welch BPM.
 
     Goes beyond the reference, which requests ``num_faces=2`` but renders
@@ -95,7 +118,8 @@ def analyze_multi(video_path: str, k_faces: int):
 
     cfg = PipelineConfig(window_seconds=10.0, acquisition_seconds=5.0,
                          band=BAND_VIDEO, estimator="welch")
-    trace = offline.extract_signals_multi(fj, k_faces, cfg)
+    trace = offline.extract_signals_multi(fj, k_faces, cfg,
+                                          detector=detector)
     ts, bpm, ok = offline.measure_green_avg_multi(fj, fps, k_faces, cfg,
                                                   trace=trace)
     return {"fps": fps, "frames": frames, "ts": ts,
@@ -239,7 +263,9 @@ def main(argv=None) -> int:
 
     path = args.video or pick_video(args.videos_dir)
     if args.faces > 1:
-        results = analyze_multi(path, args.faces)
+        results = analyze_multi(
+            path, args.faces,
+            detector=_resolve_detector_multi(args.detector, args.faces))
         ok = results["bpm_valid"]
         for k in range(args.faces):
             idx = np.nonzero(ok[:, k])[0]

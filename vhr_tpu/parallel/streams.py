@@ -43,7 +43,11 @@ def _single_stream(frames, fps: float, cfg: PipelineConfig,
         rois = vroi.cheek_roi(track.box, cfg.roi, W, H)
         rois = jnp.where(track.valid[:, None], rois, 0)
         means, _ = vreduce.roi_channel_means(fr, rois)
-        green = means[:, cfg.channel]
+        # Forward-fill over dropout frames before windowing so the XLA and
+        # fused paths are numerically comparable (and match the offline
+        # measure_green_avg convention) — raw zeros on invalid frames would
+        # otherwise leak into the FFT windows.
+        green = _ffill(means[:, cfg.channel], track.valid)
         rolling = vwin.rolling_bpm_fft(
             green, fps, cfg.band, cfg.window_len(fps),
             cfg.acquisition_len(fps))

@@ -61,6 +61,10 @@ class LiveState(NamedTuple):
     last_box: jnp.ndarray     # (4,) last face box
     hold_budget: jnp.ndarray  # () remaining reuse frames
     has_last: jnp.ndarray     # () bool
+    frame_idx: jnp.ndarray    # () wall-frame counter (advances every frame,
+                              # valid or not — the fused kernel's cadence
+                              # phase, so detect_every/rescan_every track
+                              # wall time even through track loss)
 
 
 class LiveOutput(NamedTuple):
@@ -88,6 +92,7 @@ def init_state(cfg: LiveConfig = LiveConfig()) -> LiveState:
         last_box=jnp.zeros((4,), jnp.int32),
         hold_budget=jnp.int32(0),
         has_last=jnp.asarray(False),
+        frame_idx=jnp.int32(0),
     )
 
 
@@ -178,8 +183,8 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
         # Single-HBM-pass kernel: detection + ROI reduction in one read; the
         # tracking carry IS the LiveState's holdover fields.  The ROI comes
         # from the box tracked on previous frames (one-frame lag) and the
-        # cadence phase rides on ``count`` (valid-sample counter) — gating's
-        # track-loss/budget full scans do not depend on it.
+        # cadence phase rides on ``frame_idx`` (the wall-frame counter), so
+        # periodic full-scan cadence keeps ticking through track loss.
         from ..ops.pallas_fused import fused_detect_roi_carry
 
         carry = jnp.concatenate([
@@ -191,7 +196,7 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
             detect_row_pool=cfg.detect_row_pool,
             gate_margin=cfg.gate_margin,
             interpret=jax.default_backend() != "tpu",
-            t_len=1, phase=state.count)
+            t_len=1, phase=state.frame_idx)
         green = res.means[0, 1]
         face_valid = res.roi_valid[0]
         new_last = carry_out[0:4]
@@ -240,7 +245,8 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
 
     new_state = LiveState(ring_raw=ring_raw, ring_filt=ring_filt,
                           count=count, zi=zi, last_box=new_last,
-                          hold_budget=new_budget, has_last=new_has)
+                          hold_budget=new_budget, has_last=new_has,
+                          frame_idx=state.frame_idx + 1)
     out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
                      green_filtered=filt, box=new_last,
                      face_valid=face_valid)

@@ -36,6 +36,7 @@ __all__ = [
     "measure_green_avg",
     "measure_green_avg_multi",
     "measure_ica",
+    "measure_projection",
     "measure_app_welch",
     "to_measurement_array",
 ]
