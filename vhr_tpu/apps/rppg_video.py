@@ -39,7 +39,11 @@ def _resolve_detector(name: str):
     if name == "refined":
         from ..models.cascade import load_default_refined_detector
         return load_default_refined_detector()
-    raise SystemExit(f"unknown detector {name!r} (skin|landmarker|refined)")
+    if name == "mediapipe":
+        from ..models.mediapipe_face import make_mediapipe_detector
+        return make_mediapipe_detector()
+    raise SystemExit(
+        f"unknown detector {name!r} (skin|landmarker|refined|mediapipe)")
 
 
 def _resolve_detector_multi(name: str, k_faces: int):
@@ -51,6 +55,9 @@ def _resolve_detector_multi(name: str, k_faces: int):
     falling back to the chroma multiface path (ADVICE r2)."""
     if name == "skin":
         return None
+    if name == "mediapipe":
+        from ..models.mediapipe_face import make_mediapipe_detector_multi
+        return make_mediapipe_detector_multi(k_faces=k_faces)
     from ..models.landmarker import load_default_detector
     from ..models.train import TrainConfig
     params = load_default_detector().args[0]
@@ -255,7 +262,7 @@ def main(argv=None) -> int:
                    help="analyze up to K subjects (annotated video + "
                         "per-face BPM traces)")
     p.add_argument("--detector", default="skin",
-                   choices=["skin", "landmarker", "refined"],
+                   choices=["skin", "landmarker", "refined", "mediapipe"],
                    help="face localization: weight-free skin chroma "
                         "(fastest), learned landmarker, or landmarker + "
                         "crop self-refinement (most accurate)")

@@ -1,0 +1,337 @@
+"""The reference's production face pipeline, TPU-native.
+
+Ports the *weights* of MediaPipe's ``face_landmarker.task`` (BlazeFace
+short-range detector + 478-point face-mesh landmarks) into JAX via the
+first-party TFLite reader (:mod:`vhr_tpu.models.tflite`), and re-implements
+the surrounding graph logic — SSD anchor generation, box decode, weighted
+NMS, rotated square ROI, 256x256 crop sampling and landmark re-projection —
+as batched, jit-compatible array code.
+
+Reference consumers: ``/root/reference/analysis/utils/roi.py:70-110``
+(FaceLandmarker VIDEO mode -> landmarks -> min/max bbox -> cheek ROI) and
+``/root/reference/rppg_VIDEO.py:25-46,380``.  Graph-parameter provenance
+(public MediaPipe graph configs, transcribed constants):
+
+* face detector: input 128x128 RGB in [-1, 1], letterboxed; SSD anchors
+  num_layers=4, strides [8,16,16,16], min/max scale 0.1484375/0.75,
+  aspect 1.0 + interpolated, fixed_anchor_size (=> only centers matter:
+  16x16x2 + 8x8x6 = 896); decode scales x=y=w=h=128, 6 keypoints,
+  sigmoid scores clipped at +-100, min score 0.5; weighted NMS at IoU 0.3.
+* landmarks: ROI = detection box rotated so the eye keypoints are level
+  (kp0 -> kp1, target angle 0), scaled 1.5x, long-side square; input
+  256x256 RGB in [0, 1]; outputs 478 xyz landmarks in crop pixels and a
+  face-presence logit (sigmoid -> min_face_presence_confidence 0.5).
+
+TPU-first shape: all T frames run the conv nets as one batch (MXU), the
+per-frame NMS/crop logic is vmapped, and the whole detector is exposed as
+a ``jax.tree_util.Partial`` so weights stay traced arguments.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["blazeface_anchors", "load_face_models", "detect_faces_mp",
+           "face_landmarks", "make_mediapipe_detector",
+           "make_mediapipe_detector_multi", "default_task_path",
+           "MediaPipeFaceParams"]
+
+_MIN_DET_SCORE = 0.5          # TensorsToDetections min_score_thresh
+_NMS_IOU = 0.3                # min_suppression_threshold
+_ROI_SCALE = 1.5              # RectTransformation scale_x/scale_y
+_MIN_PRESENCE = 0.5           # min_face_presence_confidence
+_DET_SIZE = 128
+_LM_SIZE = 256
+
+
+def default_task_path() -> str:
+    """The bundled model asset (repo copy of the reference's .task zip)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ours = os.path.join(os.path.dirname(here), "checkpoints",
+                        "face_landmarker.task")
+    if os.path.exists(ours):
+        return ours
+    return "/root/reference/face_landmarker.task"
+
+
+def blazeface_anchors() -> np.ndarray:
+    """(896, 2) anchor centers (x, y), normalized to the 128px square.
+
+    SsdAnchorsCalculator with fixed_anchor_size=true: every anchor is unit
+    sized, so only the center grid survives — 2 anchors per cell on the
+    stride-8 16x16 map, 6 per cell on the merged stride-16 8x8 maps.
+    """
+    out = []
+    for fm, per_cell in ((16, 2), (8, 6)):
+        for y in range(fm):
+            for x in range(fm):
+                cx, cy = (x + 0.5) / fm, (y + 0.5) / fm
+                out.extend([(cx, cy)] * per_cell)
+    a = np.asarray(out, np.float32)
+    assert a.shape == (896, 2)
+    return a
+
+
+class MediaPipeFaceParams(NamedTuple):
+    det: dict                 # BlazeFace conv weights (tensor-idx -> array)
+    lm: dict                  # face-mesh conv weights
+
+
+_CACHE = {}
+
+
+def load_face_models(task_path: Optional[str] = None):
+    """Parse the .task zip once -> (params pytree, det apply, lm apply)."""
+    task_path = task_path or default_task_path()
+    if task_path in _CACHE:
+        return _CACHE[task_path]
+    from .tflite import load_task_models
+    from .tflite_exec import build_jax
+    models = load_task_models(task_path)
+    det_params, det_apply = build_jax(models["face_detector.tflite"].graph)
+    lm_params, lm_apply = build_jax(
+        models["face_landmarks_detector.tflite"].graph)
+    params = MediaPipeFaceParams(det=det_params, lm=lm_params)
+    _CACHE[task_path] = (params, det_apply, lm_apply)
+    return _CACHE[task_path]
+
+
+# --- detector stage ---------------------------------------------------------
+
+def _letterbox_geometry(H: int, W: int, size: int):
+    """Static (Python-time) keep-aspect letterbox: scale + centered pads."""
+    scale = size / max(H, W)
+    h2, w2 = int(round(H * scale)), int(round(W * scale))
+    pad_y, pad_x = (size - h2) // 2, (size - w2) // 2
+    return scale, h2, w2, pad_x, pad_y
+
+
+def _letterbox(frames_bgr_u8: jnp.ndarray, size: int, lo: float, hi: float):
+    """(T, H, W, 3) BGR u8 -> (T, size, size, 3) RGB in [lo, hi]."""
+    T, H, W, _ = frames_bgr_u8.shape
+    scale, h2, w2, pad_x, pad_y = _letterbox_geometry(H, W, size)
+    rgb = frames_bgr_u8[..., ::-1].astype(jnp.float32)
+    small = jax.image.resize(rgb, (T, h2, w2, 3), "bilinear")
+    canvas = jnp.zeros((T, size, size, 3), jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(canvas, small, (0, pad_y, pad_x, 0))
+    return canvas * ((hi - lo) / 255.0) + lo
+
+
+def _decode_detections(reg: jnp.ndarray, cls: jnp.ndarray,
+                       anchors: jnp.ndarray):
+    """Raw SSD outputs -> (boxes x1y1x2y2, scores, keypoints), letterbox-
+    normalized.  reg (T, 896, 16): [cx, cy, w, h, 6x(kx, ky)] each /128
+    relative to its (unit-size) anchor center."""
+    s = 1.0 / _DET_SIZE
+    cxy = reg[..., 0:2] * s + anchors                    # (T, 896, 2)
+    wh = reg[..., 2:4] * s
+    half = wh * 0.5
+    boxes = jnp.concatenate([cxy - half, cxy + half], axis=-1)
+    kps = reg[..., 4:16].reshape(reg.shape[:-1] + (6, 2)) * s \
+        + anchors[..., None, :]
+    scores = jax.nn.sigmoid(jnp.clip(cls[..., 0], -100.0, 100.0))
+    return boxes, scores, kps
+
+
+def _iou_one_vs_all(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    inter = jnp.prod(jnp.maximum(rb - lt, 0.0), axis=-1)
+    a = jnp.prod(jnp.maximum(box[2:] - box[:2], 0.0))
+    b = jnp.prod(jnp.maximum(boxes[:, 2:] - boxes[:, :2], 0.0), axis=-1)
+    return inter / jnp.maximum(a + b - inter, 1e-9)
+
+
+def _weighted_nms(boxes, scores, kps, k_faces: int,
+                  min_score: float = _MIN_DET_SCORE,
+                  iou_thresh: float = _NMS_IOU):
+    """MediaPipe WEIGHTED NonMaxSuppression, vectorized, static top-K.
+
+    Per slot: take the highest-scoring remaining candidate, blend every
+    remaining candidate with IoU >= threshold into it (score-weighted box
+    and keypoints), retire them.  One frame: boxes (A, 4), scores (A,),
+    kps (A, 6, 2) -> (K, 4), (K,), (K, 6, 2).
+    """
+    def slot(carry, _):
+        remaining = carry
+        masked = jnp.where(remaining, scores, -jnp.inf)
+        i = jnp.argmax(masked)
+        top = masked[i]
+        ok = top >= min_score
+        sim = jnp.logical_and(remaining,
+                              _iou_one_vs_all(boxes[i], boxes) >= iou_thresh)
+        w = jnp.where(sim, scores, 0.0)[:, None]
+        wsum = jnp.maximum(jnp.sum(w), 1e-9)
+        blend_box = jnp.sum(boxes * w, axis=0) / wsum
+        blend_kps = jnp.sum(kps * w[..., None], axis=0) / wsum
+        remaining = jnp.logical_and(remaining, ~sim)
+        return remaining, (blend_box, top, blend_kps, ok)
+
+    init = scores >= min_score
+    _, (b, s, kp, ok) = jax.lax.scan(slot, init, None, length=k_faces)
+    return b, s, kp, ok
+
+
+class _Rect(NamedTuple):
+    cx: jnp.ndarray           # image px
+    cy: jnp.ndarray
+    side: jnp.ndarray         # square side, image px
+    rot: jnp.ndarray          # radians
+
+
+def _detection_to_rect(box, kps, H: int, W: int) -> _Rect:
+    """Letterbox-normalized detection -> rotated square ROI in image px.
+
+    DetectionsToRects (rotation: kp0 -> kp1 levelled to 0 deg) +
+    RectTransformation (scale 1.5, square_long).
+    """
+    scale, h2, w2, pad_x, pad_y = _letterbox_geometry(H, W, _DET_SIZE)
+    to_px = lambda p: ((p[..., 0] * _DET_SIZE - pad_x) / scale,
+                       (p[..., 1] * _DET_SIZE - pad_y) / scale)
+    x1, y1 = to_px(box[..., 0:2])
+    x2, y2 = to_px(box[..., 2:4])
+    kx, ky = to_px(kps)                                  # (..., 6)
+    cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
+    rot = -jnp.arctan2(-(ky[..., 1] - ky[..., 0]),
+                       kx[..., 1] - kx[..., 0])
+    side = jnp.maximum(x2 - x1, y2 - y1) * _ROI_SCALE
+    return _Rect(cx=cx, cy=cy, side=side, rot=rot)
+
+
+def _crop_rotated(frame_bgr_u8: jnp.ndarray, rect: _Rect, size: int):
+    """Bilinear-sample a rotated square rect -> (size, size, 3) RGB [0,1]."""
+    H, W, _ = frame_bgr_u8.shape
+    img = frame_bgr_u8[..., ::-1].astype(jnp.float32)
+    u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size - 0.5
+    uu, vv = jnp.meshgrid(u, u)                          # (size, size) x, y
+    c, s = jnp.cos(rect.rot), jnp.sin(rect.rot)
+    xs = rect.cx + (uu * c - vv * s) * rect.side
+    ys = rect.cy + (uu * s + vv * c) * rect.side
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx, fy = xs - x0, ys - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    p00, p01 = img[y0i, x0i], img[y0i, x1i]
+    p10, p11 = img[y1i, x0i], img[y1i, x1i]
+    top = p00 * (1 - fx[..., None]) + p01 * fx[..., None]
+    bot = p10 * (1 - fx[..., None]) + p11 * fx[..., None]
+    out = top * (1 - fy[..., None]) + bot * fy[..., None]
+    return out / 255.0
+
+
+def _project_landmarks(lm_crop: jnp.ndarray, rect: _Rect) -> jnp.ndarray:
+    """Crop-pixel landmarks (478, 3) -> image-pixel (x, y) (478, 2)."""
+    u = lm_crop[..., 0] / _LM_SIZE - 0.5
+    v = lm_crop[..., 1] / _LM_SIZE - 0.5
+    c, s = jnp.cos(rect.rot), jnp.sin(rect.rot)
+    x = rect.cx + (u * c - v * s) * rect.side
+    y = rect.cy + (u * s + v * c) * rect.side
+    return jnp.stack([x, y], axis=-1)
+
+
+# --- public stages ----------------------------------------------------------
+
+def detect_faces_mp(params: MediaPipeFaceParams, det_apply, frames,
+                    k_faces: int = 1):
+    """BlazeFace over a frame batch: (T, H, W, 3) BGR u8 ->
+    (rects, scores (T, K), ok (T, K)) — rotated square ROIs in image px."""
+    T, H, W, _ = frames.shape
+    x = _letterbox(frames, _DET_SIZE, -1.0, 1.0)
+    reg, cls = jax.vmap(lambda xi: det_apply(params.det, xi[None]))(x)
+    anchors = jnp.asarray(blazeface_anchors())
+    boxes, scores, kps = _decode_detections(reg[:, 0], cls[:, 0], anchors)
+    b, s, kp, ok = jax.vmap(
+        functools.partial(_weighted_nms, k_faces=k_faces))(boxes, scores, kps)
+    rects = _detection_to_rect(b, kp, H, W)              # fields (T, K)
+    return rects, s, ok
+
+
+def face_landmarks(params: MediaPipeFaceParams, lm_apply, frames, rects):
+    """Face-mesh over per-frame rects: -> (landmarks_px (T, K, 478, 2),
+    presence (T, K))."""
+    T = frames.shape[0]
+    K = rects.cx.shape[-1]
+
+    def crop_one(frame, rect_k):
+        return jax.vmap(lambda r: _crop_rotated(frame, r, _LM_SIZE))(rect_k)
+
+    crops = jax.vmap(crop_one)(frames, jax.tree.map(
+        lambda a: a.reshape(T, K), rects))               # (T, K, 256, 256, 3)
+    flat = crops.reshape(T * K, _LM_SIZE, _LM_SIZE, 3)
+    out = jax.vmap(lambda xi: lm_apply(params.lm, xi[None]))(flat)
+    lm = out[0].reshape(T, K, 478, 3)
+    presence = jax.nn.sigmoid(out[1].reshape(T, K))
+    flat_rects = jax.tree.map(lambda a: a.reshape(T, K), rects)
+    lm_px = jax.vmap(jax.vmap(_project_landmarks))(lm, flat_rects)
+    return lm_px, presence
+
+
+def _landmarks_to_bbox(lm_px: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Landmark cloud -> int bbox, the reference's `_bbox_from_landmarks`
+    (analysis/utils/roi.py:43-51): min/max over all points, clipped."""
+    x1 = jnp.clip(jnp.min(lm_px[..., 0], axis=-1), 0, W - 1)
+    y1 = jnp.clip(jnp.min(lm_px[..., 1], axis=-1), 0, H - 1)
+    x2 = jnp.clip(jnp.max(lm_px[..., 0], axis=-1), 0, W - 1)
+    y2 = jnp.clip(jnp.max(lm_px[..., 1], axis=-1), 0, H - 1)
+    return jnp.stack([x1, y1, x2, y2], axis=-1).astype(jnp.int32)
+
+
+def _detect_single(params: MediaPipeFaceParams, det_apply, lm_apply,
+                   frames: jnp.ndarray):
+    T, H, W, _ = frames.shape
+    rects, _, det_ok = detect_faces_mp(params, det_apply, frames, k_faces=1)
+    lm_px, presence = face_landmarks(params, lm_apply, frames, rects)
+    boxes = _landmarks_to_bbox(lm_px[:, 0], H, W)
+    valid = jnp.logical_and(det_ok[:, 0], presence[:, 0] >= _MIN_PRESENCE)
+    boxes = jnp.where(valid[:, None], boxes, 0)
+    return boxes, valid
+
+
+def _detect_multi(params: MediaPipeFaceParams, det_apply, lm_apply,
+                  k_faces: int, frames: jnp.ndarray):
+    T, H, W, _ = frames.shape
+    rects, _, det_ok = detect_faces_mp(params, det_apply, frames,
+                                       k_faces=k_faces)
+    lm_px, presence = face_landmarks(params, lm_apply, frames, rects)
+    boxes = _landmarks_to_bbox(lm_px, H, W)              # (T, K, 4)
+    valid = jnp.logical_and(det_ok, presence >= _MIN_PRESENCE)
+    # Stable x-order identity, matching multiface.detect_faces_multi.
+    sort_key = jnp.where(valid, boxes[..., 0], W + 1)
+    order = jnp.argsort(sort_key, axis=1)
+    boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+    boxes = jnp.where(valid[..., None], boxes, 0)
+    return boxes, valid
+
+
+def make_mediapipe_detector(task_path: Optional[str] = None):
+    """The production-weight face detector as a pipeline detector:
+    ``frames (T, H, W, 3) u8 -> (boxes (T, 4), valid (T,))`` — drops into
+    ``pipeline.offline.extract_signals(detector=...)`` / ``live.step``
+    exactly like the learned-landmarker detector.  Boxes are landmark
+    min/max, the reference's definition (analysis/utils/roi.py:43-51)."""
+    params, det_apply, lm_apply = load_face_models(task_path)
+    fn = functools.partial(_detect_single, det_apply=det_apply,
+                           lm_apply=lm_apply)
+    return jax.tree_util.Partial(
+        lambda p, frames: fn(p, frames=frames), params)
+
+
+def make_mediapipe_detector_multi(task_path: Optional[str] = None,
+                                  k_faces: int = 2):
+    """Multi-face variant: ``frames -> (boxes (T, K, 4), valid (T, K))``,
+    x-sorted identity — the ``extract_signals_multi`` detector interface."""
+    params, det_apply, lm_apply = load_face_models(task_path)
+    fn = functools.partial(_detect_multi, det_apply=det_apply,
+                           lm_apply=lm_apply, k_faces=k_faces)
+    return jax.tree_util.Partial(
+        lambda p, frames: fn(p, frames=frames), params)
