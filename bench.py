@@ -193,6 +193,21 @@ def bench_live_latency() -> dict:
         lats.append((time.perf_counter() - t0) * 1e3)
     p50_rtt = float(np.percentile(lats, 50))
 
+    # Pipelined host loop (the production serving shape, VERDICT r2 #3):
+    # dispatch frame N, then read frame N-1's BPM — the dispatch round trip
+    # overlaps device compute at a one-frame answer lag (the reference's
+    # async detector accepts the same lag, rppg_LIVESTREAM.py:335-341).
+    pipe = live.LivePipeline(cfg, donate=True)
+    pipe.submit(frames[0])                       # fill the 1-deep queue
+    lats_p = []
+    for i in range(1, K):
+        t0 = time.perf_counter()
+        out = pipe.submit(frames[i])
+        float(out.bpm)                           # prev frame, already host
+        lats_p.append((time.perf_counter() - t0) * 1e3)
+    pipe.flush()
+    p50_pipelined = float(np.percentile(lats_p, 50))
+
     # Scan-amortized device compute per frame (one dispatch, K steps).
     @jax.jit
     def run(state, frames, seed):
@@ -242,11 +257,13 @@ def bench_live_latency() -> dict:
     return {
         "metric": "live_720p_step_latency_ms",
         "p50_sequential_incl_relay_rtt": round(p50_rtt, 2),
+        "p50_pipelined_incl_relay_rtt": round(p50_pipelined, 2),
         "device_compute_per_frame_amortized": round(per_frame_ms, 3),
         "device_compute_per_frame_fused_gated": round(fused_ms, 3),
         "unit": "ms",
         "budget_ms": LIVE_BUDGET_MS,
         "within_budget": per_frame_ms <= LIVE_BUDGET_MS,
+        "within_budget_incl_rtt": p50_pipelined <= LIVE_BUDGET_MS,
         "config": {"h": H, "w": W, "steps": K, "ring_len": cfg.ring_len,
                    "fused_mode": "detect_row_pool=8, gate_margin=0.15"},
     }
@@ -406,7 +423,168 @@ def bench_decode_e2e(clip_seconds: float = 15.0) -> dict:
     }
 
 
+def bench_kernels() -> dict:
+    """Hot-kernel microbenches (us/frame, scan-amortized): the two Pallas
+    paths whose regressions would silently sink every pipeline number."""
+    import jax
+    import jax.numpy as jnp
+
+    from vhr_tpu.config import ROIConfig
+    from vhr_tpu.ops.pallas_fused import fused_detect_roi_pallas
+    from vhr_tpu.ops.pallas_roi import roi_channel_means_pallas_batched
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        T, H, W = 256, 1080, 1920
+        REPS = 8
+    else:
+        T, H, W = 16, 96, 128
+        REPS = 2
+    interp = not on_tpu
+
+    base, noise = _face_plate(H, W, seed=6)
+    flat = np.broadcast_to(
+        np.minimum(base.astype(np.uint16) + noise, 255).astype(np.uint8)
+        .reshape(H, W * 3), (T, H, W * 3)).copy()
+    flat_j = jnp.asarray(flat)
+    # plausible tracked cheek ROI (static geometry of _face_plate)
+    x1, x2 = int(0.39 * W), int(0.61 * W)
+    y1, y2 = int(0.30 * H), int(0.52 * H)
+    rois_j = jnp.broadcast_to(
+        jnp.asarray([x1, y1, x2, y2], jnp.int32), (T, 4))
+    jax.block_until_ready((flat_j, rois_j))
+
+    def timed_us(reps_fn):
+        last = {}
+
+        def call(seed):
+            last["v"] = float(reps_fn(flat_j, rois_j, seed))
+        call(jnp.uint8(0))                       # compile + warm
+        dt = _timed_median(call)
+        return dt * 1e6 / (T * REPS)
+
+    @jax.jit
+    def roi_reps(flat, rois, seed):
+        def body(c, i):
+            fr = jax.lax.optimization_barrier(
+                flat + jax.lax.rem(i + seed, jnp.uint8(4)))
+            means, _ = roi_channel_means_pallas_batched(
+                fr, rois, interpret=interp, channels=3)
+            return c + jnp.sum(means), None
+        out, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REPS, dtype=jnp.uint8))
+        return out
+
+    @jax.jit
+    def fused_reps(flat, rois, seed):
+        def body(c, i):
+            fr = jax.lax.optimization_barrier(
+                flat + jax.lax.rem(i + seed, jnp.uint8(4)))
+            res = fused_detect_roi_pallas(
+                fr.reshape(T, H, W, 3), roi=ROIConfig(),
+                detect_row_pool=8 if on_tpu else 1,
+                gate_margin=0.15 if on_tpu else None, interpret=interp)
+            return c + jnp.sum(res.means), None
+        out, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(REPS, dtype=jnp.uint8))
+        return out
+
+    return {
+        "metric": "pallas_kernel_us_per_frame",
+        "roi_batched_us_per_frame": round(timed_us(roi_reps), 2),
+        "fused_pool8_gated_us_per_frame": round(timed_us(fused_reps), 2),
+        "unit": "us/frame",
+        "config": {"frames": T, "h": H, "w": W, "reps": REPS,
+                   "layout": "flat (T, H, W*3)"},
+    }
+
+
+# --- perf regression gate (VERDICT r2 #6) ----------------------------------
+
+# name -> (path into the result dict, relative tolerance, direction)
+# direction +1 = bigger is better (fail when below baseline*(1-tol)),
+#           -1 = smaller is better (fail when above baseline*(1+tol)).
+CHECKS = {
+    "flagship_fps": (("flagship", "value"), 0.25, +1),
+    "roi_kernel_us": (("kernels", "roi_batched_us_per_frame"), 0.5, -1),
+    "fused_kernel_us": (("kernels", "fused_pool8_gated_us_per_frame"),
+                        0.5, -1),
+    "live_device_ms": (("live_latency",
+                        "device_compute_per_frame_amortized"), 0.5, -1),
+}
+BASELINE_FILE = "BENCH_BASELINES.json"
+
+
+def _collect_check() -> dict:
+    return {"flagship": bench_flagship(), "kernels": bench_kernels(),
+            "live_latency": bench_live_latency()}
+
+
+def run_check(record: bool) -> int:
+    """``--check``: fail (exit 1) when any gated metric regresses past its
+    tolerance band vs the committed TPU baselines; ``--record`` refreshes
+    the baselines from a fresh run.  CPU runs are compile-smoke only (the
+    numbers are meaningless off-chip): always exit 0, never record."""
+    import os
+
+    import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    results = _collect_check()
+    fresh = {}
+    for name, (path, tol, direction) in CHECKS.items():
+        v = results
+        for k in path:
+            v = v[k]
+        fresh[name] = v
+
+    if record:
+        if not on_tpu:
+            print("[check] refusing to record CPU numbers as baselines",
+                  file=sys.stderr)
+            return 1
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"platform": "tpu", "metrics": fresh,
+                       "tolerances": {k: CHECKS[k][1] for k in CHECKS}},
+                      f, indent=2)
+        print(f"[check] recorded {fresh} -> {BASELINE_FILE}",
+              file=sys.stderr)
+        return 0
+
+    if not on_tpu:
+        print(f"[check] CPU platform: compile-smoke only, numbers ignored "
+              f"({fresh})", file=sys.stderr)
+        return 0
+    if not os.path.exists(BASELINE_FILE):
+        print(f"[check] no {BASELINE_FILE}; run bench.py --record first",
+              file=sys.stderr)
+        return 1
+    with open(BASELINE_FILE) as f:
+        base = json.load(f)["metrics"]
+    failed = []
+    for name, (path, tol, direction) in CHECKS.items():
+        b, v = base.get(name), fresh[name]
+        if b is None:
+            continue
+        if direction > 0:
+            ok = v >= b * (1.0 - tol)
+        else:
+            ok = v <= b * (1.0 + tol)
+        status = "ok" if ok else "REGRESSED"
+        print(f"[check] {name}: fresh={v} baseline={b} tol={tol:.0%} "
+              f"{status}", file=sys.stderr)
+        if not ok:
+            failed.append(name)
+    if failed:
+        print(f"[check] FAILED: {failed}", file=sys.stderr)
+        return 1
+    print("[check] all gated metrics within tolerance", file=sys.stderr)
+    return 0
+
+
 def main() -> None:
+    if "--check" in sys.argv or "--record" in sys.argv:
+        raise SystemExit(run_check(record="--record" in sys.argv))
     full = "--full" in sys.argv
     headline = bench_flagship()
     out = {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline")}
@@ -414,6 +592,7 @@ def main() -> None:
         detail = {"flagship": headline}
         for name, fn in (("live_latency", bench_live_latency),
                          ("multistream", bench_multistream),
+                         ("kernels", bench_kernels),
                          ("decode_e2e", bench_decode_e2e)):
             try:
                 detail[name] = fn()

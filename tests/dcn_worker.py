@@ -1,0 +1,73 @@
+"""Worker process for the 2-process DCN test (tests/test_dcn.py).
+
+Run as: python tests/dcn_worker.py PROCESS_ID NUM_PROCESSES PORT OUTDIR
+
+Each process owns 4 virtual CPU devices; both synthesize the same
+deterministic 8-stream clip, contribute their own 4-stream half to the
+global array, run ``multistream_green_bpm`` over the 2x4 cluster mesh,
+allgather, and compare against an in-process single-mesh reference.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    process_id, num_processes, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4")
+
+    import numpy as np
+    import jax
+
+    from vhr_tpu.config import PipelineConfig
+    from vhr_tpu.parallel import dcn
+    from vhr_tpu.parallel.streams import multistream_green_bpm
+    from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+    dcn.init_cluster(f"localhost:{port}", num_processes, process_id)
+    assert jax.process_count() == num_processes
+    assert len(jax.local_devices()) == 4
+    mesh = dcn.cluster_stream_mesh()
+    assert mesh.devices.size == 4 * num_processes
+
+    # Deterministic 8-stream clip, same on every host; each process
+    # contributes its own quarter x num_processes.
+    fps, S = 30.0, 4 * num_processes
+    clips = [synthesize(SynthSpec(duration_s=2.0, height=48, width=64,
+                                  fps=fps, bpm=66.0 + 6 * s, noise_std=0.3,
+                                  seed=s))
+             for s in range(S)]
+    frames = np.stack([c.frames for c in clips])          # (S, T, H, W, 3)
+    lo = process_id * (S // num_processes)
+    hi = lo + S // num_processes
+    cfg = PipelineConfig(window_seconds=1.0, acquisition_seconds=0.5)
+
+    gframes = dcn.distribute_streams(frames[lo:hi], mesh)
+    res = multistream_green_bpm(gframes, fps, mesh, cfg)
+    bpm = dcn.gather_streams(res.bpm)
+    valid = dcn.gather_streams(res.valid)
+    assert bpm.shape == (S, frames.shape[1])
+    assert valid[:, -1].all(), "every stream must converge by the last frame"
+
+    # Single-mesh in-process reference over this host's local devices.
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    ref_mesh = Mesh(np.asarray(jax.local_devices()), ("stream",))
+    ref = multistream_green_bpm(jnp.asarray(frames[lo:hi]), fps,
+                                ref_mesh, cfg)
+    np.testing.assert_allclose(bpm[lo:hi], np.asarray(ref.bpm),
+                               rtol=0, atol=0)
+
+    with open(os.path.join(outdir, f"ok_{process_id}.json"), "w") as f:
+        json.dump({"bpm_last": bpm[:, -1].tolist()}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -231,3 +231,29 @@ def test_live_fused_rejects_detector():
     with pytest.raises(ValueError, match="in-kernel skin detector"):
         live.make_step(live.LiveConfig(use_fused=True),
                        detector=load_default_detector())
+
+
+def test_live_pipeline_matches_sequential(clip):
+    """LivePipeline's 1-deep pipelining returns exactly the sequential
+    outputs, shifted by one frame (VERDICT r2 #3)."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    n = 40
+
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False)
+    seq = []
+    for f in clip.frames[:n]:
+        st, out = stp(st, jnp.asarray(f))
+        seq.append(np.asarray(out.green_raw))
+
+    pipe = live.LivePipeline(cfg, donate=False)
+    got = []
+    for f in clip.frames[:n]:
+        out = pipe.submit(jnp.asarray(f))
+        if out is not None:
+            got.append(np.asarray(out.green_raw))
+    assert pipe.submit(jnp.asarray(clip.frames[0])) is not None
+    last = pipe.flush()
+    assert last is not None and pipe.flush() is None
+    # first submit returns None; outputs then stream in order
+    np.testing.assert_allclose(np.asarray(got), np.asarray(seq[:n - 1]))

@@ -28,7 +28,7 @@ import numpy as np
 
 
 def run(source, cfg, max_frames=None, display=True, k_faces=1,
-        detector=None) -> int:
+        detector=None, pipelined=True) -> int:
     import cv2
     import jax.numpy as jnp
 
@@ -40,13 +40,12 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
         return 1
     fps = cam.get(cv2.CAP_PROP_FPS) or 15.0   # rppg_LIVESTREAM.py:291 fallback
     cfg = dataclasses.replace(cfg, fps=float(fps))
-    if k_faces > 1:
-        state = live.init_state_multi(cfg, k_faces)
-        step = live.make_step_multi(cfg, k_faces, donate=False,
-                                    detector=detector)
-    else:
-        state = live.init_state(cfg)
-        step = live.make_step(cfg, donate=False, detector=detector)
+    # Pipelined (default): dispatch frame N, then read frame N-1's output —
+    # the dispatch round trip overlaps device compute, at a one-frame
+    # answer lag (the reference's async detector has the same lag,
+    # rppg_LIVESTREAM.py:335-341).  ``pipelined=False`` syncs every frame.
+    pipe = live.LivePipeline(cfg, detector=detector, k_faces=k_faces,
+                             donate=False)
 
     paused = False
     n = 0
@@ -57,31 +56,35 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
             if not ret:
                 print("End of stream reached.")
                 break
-            state, out = step(state, jnp.asarray(frame))
+            out = pipe.submit(jnp.asarray(frame))
+            if not pipelined:
+                out = pipe.flush()
             n += 1
-            # Normalize to a face axis so one draw/report path serves both.
-            boxes = np.atleast_2d(np.asarray(out.box))
-            bpms = np.atleast_1d(np.asarray(out.bpm))
-            bpm_ok = np.atleast_1d(np.asarray(out.bpm_valid))
-            face_ok = np.atleast_1d(np.asarray(out.face_valid))
-            if bpm_ok.any():
-                if len(bpms) == 1:        # reference format, rppg_LIVESTREAM
-                    print(f"Bpm after filtering: {bpms[0]:.2f}")
-                else:
-                    msg = "  ".join(f"face{k}: {bpms[k]:.2f}"
-                                    for k in range(len(bpms)) if bpm_ok[k])
-                    print(f"Bpm after filtering: {msg}")
-            if display:
-                for k in range(len(boxes)):
-                    x1, y1, x2, y2 = boxes[k]
-                    if face_ok[k]:
-                        cv2.rectangle(frame, (x1, y1), (x2, y2),
-                                      (0, 255, 0), 2)
-                    if bpm_ok[k]:
-                        cv2.putText(frame, f"{bpms[k]:.1f} BPM",
-                                    (8, 24 * (k + 1)),
-                                    cv2.FONT_HERSHEY_SIMPLEX, 0.7,
-                                    (255, 255, 255), 2)
+            if out is not None:
+                # Normalize to a face axis so one path serves both modes.
+                boxes = np.atleast_2d(out.box)
+                bpms = np.atleast_1d(out.bpm)
+                bpm_ok = np.atleast_1d(out.bpm_valid)
+                face_ok = np.atleast_1d(out.face_valid)
+                if bpm_ok.any():
+                    if len(bpms) == 1:    # reference format, rppg_LIVESTREAM
+                        print(f"Bpm after filtering: {bpms[0]:.2f}")
+                    else:
+                        msg = "  ".join(f"face{k}: {bpms[k]:.2f}"
+                                        for k in range(len(bpms))
+                                        if bpm_ok[k])
+                        print(f"Bpm after filtering: {msg}")
+                if display:
+                    for k in range(len(boxes)):
+                        x1, y1, x2, y2 = boxes[k]
+                        if face_ok[k]:
+                            cv2.rectangle(frame, (x1, y1), (x2, y2),
+                                          (0, 255, 0), 2)
+                        if bpm_ok[k]:
+                            cv2.putText(frame, f"{bpms[k]:.1f} BPM",
+                                        (8, 24 * (k + 1)),
+                                        cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                                        (255, 255, 255), 2)
         if display:
             cv2.imshow("vhr_tpu livestream", frame)
             key = cv2.waitKey(1) & 0xFF
@@ -90,6 +93,10 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
             if key == ord(" "):
                 paused = not paused
 
+    last = pipe.flush()
+    if last is not None and np.atleast_1d(last.bpm_valid).any():
+        bpms = np.atleast_1d(last.bpm)
+        print(f"Bpm after filtering: {bpms[0]:.2f}")
     dt = time.perf_counter() - t_start
     if n:
         print(f"processed {n} frames in {dt:.1f}s ({n / dt:.1f} fps)")
@@ -108,6 +115,11 @@ def main(argv=None) -> int:
                    help="replay a video file instead of a camera")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--no-display", action="store_true")
+    p.add_argument("--sync", action="store_true",
+                   help="read each frame's output before grabbing the next "
+                        "(default is 1-frame-deep pipelining: dispatch N+1 "
+                        "while N computes — lower latency per frame, one "
+                        "frame of answer lag)")
     p.add_argument("--fused", action="store_true",
                    help="single-HBM-pass Pallas detection (needs frame "
                         "H %% 8 == 0 and W*3 %% 128 == 0); lowest-latency "
@@ -145,7 +157,7 @@ def main(argv=None) -> int:
     print("PRESS q to quit -- PRESS spacebar to pause")
     return run(source, cfg, max_frames=args.max_frames,
                display=not args.no_display, k_faces=args.faces,
-               detector=detector)
+               detector=detector, pipelined=not args.sync)
 
 
 if __name__ == "__main__":

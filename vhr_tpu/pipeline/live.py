@@ -29,7 +29,7 @@ from ..ops import roi as vroi
 
 __all__ = ["LiveConfig", "LiveState", "LiveOutput", "init_state", "step",
            "make_step", "MultiLiveState", "init_state_multi", "step_multi",
-           "make_step_multi"]
+           "make_step_multi", "LivePipeline"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -270,6 +270,56 @@ def make_step(cfg: LiveConfig = LiveConfig(), donate: bool = True,
     f = functools.partial(_step_impl, cfg=cfg, det_fn=det_fn)
     jitted = jax.jit(f, donate_argnums=(0,) if donate else ())
     return lambda state, frame: jitted(state, frame, det_args)
+
+
+class LivePipeline:
+    """One-frame-deep pipelined live loop: dispatch N+1 before reading N.
+
+    Sequential ``step -> fetch`` pays dispatch latency (here: the relay's
+    ~25 ms RTT; on a real TPU host the PCIe/grpc dispatch) *in series* with
+    device compute every frame.  JAX dispatch is asynchronous, so
+    :meth:`submit` enqueues the step for frame N and then materializes the
+    *previous* frame's output — the round trip for frame N overlaps frame
+    N-1's host work.  Answer lag is exactly one frame, which the reference
+    already accepts for its async detector callback
+    (``rppg_LIVESTREAM.py:335-341``); the queue stays 1 deep, within the
+    relay's shallow-queue rule (CLAUDE.md).
+
+    >>> pipe = LivePipeline(cfg)
+    >>> for frame in frames:
+    ...     out = pipe.submit(frame)   # LiveOutput for the PREVIOUS frame
+    ...     if out is not None: draw(out)
+    >>> last = pipe.flush()
+    """
+
+    def __init__(self, cfg: LiveConfig = LiveConfig(), detector=None,
+                 k_faces: int = 1, donate: bool = True):
+        if k_faces > 1:
+            self._step = make_step_multi(cfg, k_faces, detector=detector,
+                                         donate=donate)
+            self._state = init_state_multi(cfg, k_faces)
+        else:
+            self._step = make_step(cfg, donate=donate, detector=detector)
+            self._state = init_state(cfg)
+        self._pending: Optional[LiveOutput] = None
+
+    @staticmethod
+    def _materialize(out: LiveOutput) -> LiveOutput:
+        # jax.device_get on the pytree; fetching values (not
+        # block_until_ready) is the only reliable sync through the relay.
+        return LiveOutput(*(np.asarray(x) for x in out))
+
+    def submit(self, frame) -> Optional[LiveOutput]:
+        """Enqueue ``frame``; return the previous frame's output (host
+        arrays), or None on the very first call."""
+        self._state, out = self._step(self._state, frame)
+        prev, self._pending = self._pending, out
+        return self._materialize(prev) if prev is not None else None
+
+    def flush(self) -> Optional[LiveOutput]:
+        """Drain the in-flight frame (call once after the last submit)."""
+        prev, self._pending = self._pending, None
+        return self._materialize(prev) if prev is not None else None
 
 
 class MultiLiveState(NamedTuple):
