@@ -370,57 +370,109 @@ def bench_multistream() -> dict:
     }
 
 
-def bench_decode_e2e(clip_seconds: float = 15.0) -> dict:
-    """File-in -> BPM-out with the native threaded decode service in the
-    loop (SURVEY §7 risk (b)): synthesizes + encodes a 1080p clip once,
-    then times ``measure_green_avg_file`` (decode overlapped with device
-    compute) and reports the staging-ring occupancy counters."""
+def _bench_clip(H, W, secs, fourcc_pref):
+    """Synthesize + encode the bench clip once; returns (path, codec)."""
     import os
     import tempfile
 
+    from vhr_tpu.io import native
+    from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+    v = None
+    for fourcc in fourcc_pref:
+        path = os.path.join(tempfile.gettempdir(),
+                            f"vhr_bench_{H}p_{int(secs)}s_{fourcc}.avi")
+        if os.path.exists(path):
+            return path, fourcc
+        try:
+            if v is None:
+                print(f"[bench] synthesizing {H}p clip ({secs:.0f}s) ...",
+                      file=sys.stderr)
+                v = synthesize(SynthSpec(duration_s=secs, height=H, width=W,
+                                         bpm=72.0, noise_std=1.0))
+            with native.NativeVideoWriter(path, W, H, v.fps, fourcc) as wtr:
+                for k in range(0, v.frames.shape[0], 32):
+                    wtr.write(v.frames[k:k + 32])
+            return path, fourcc
+        except IOError:
+            continue                    # codec not built in this image
+    raise RuntimeError(f"no encoder available from {fourcc_pref}")
+
+
+def bench_decode_e2e(clip_seconds: float = 15.0) -> dict:
+    """File-in -> BPM-out, decomposed (VERDICT r2 #2 / SURVEY §7 risk (b)).
+
+    Reports, per codec (MJPG intra-only + an inter-frame codec when the
+    image's OpenCV can encode one):
+      * decode-only fps (drain the native reader, no device) for
+        n_decoders in {1, 4} — isolates pure decode and the segment-
+        parallel speedup (1-core host: expect ~none; the code path is the
+        deliverable),
+      * host->device copy fps (stage every chunk to the device, no
+        compute) — isolates the transfer link,
+      * fused end-to-end fps (decode overlapped with device compute),
+    plus the staging-ring occupancy counters for the e2e run.
+    """
     import jax
+    import jax.numpy as jnp
 
     from vhr_tpu.config import PipelineConfig
     from vhr_tpu.io import native
     from vhr_tpu.pipeline import offline
-    from vhr_tpu.utils.synth import SynthSpec, synthesize
 
     on_tpu = jax.devices()[0].platform != "cpu"
     H, W = (1080, 1920) if on_tpu else (96, 128)
     secs = clip_seconds if on_tpu else 4.0
-    path = os.path.join(tempfile.gettempdir(),
-                        f"vhr_bench_{H}p_{int(secs)}s.avi")
-    if not os.path.exists(path):
-        print(f"[bench] synthesizing {H}p clip ({secs:.0f}s) ...",
-              file=sys.stderr)
-        v = synthesize(SynthSpec(duration_s=secs, height=H, width=W,
-                                 bpm=72.0, noise_std=1.0))
-        with native.NativeVideoWriter(path, W, H, v.fps, "MJPG") as wtr:
-            for k in range(0, v.frames.shape[0], 32):
-                wtr.write(v.frames[k:k + 32])
+    out = {"metric": "decode_to_bpm_e2e_frames_per_sec",
+           "unit": "frames/sec", "resolution": f"{W}x{H}", "codecs": {}}
 
-    cfg = PipelineConfig(window_seconds=5.0, acquisition_seconds=2.0)
-    stats: dict = {}
-    # Warm compile on one chunk shape first so compile time isn't billed.
-    t0 = time.perf_counter()
-    bgr, valid, fps = offline.extract_signals_streaming(
-        path, cfg, chunk_frames=64, ring_stats=stats)
-    dt = time.perf_counter() - t0
-    T = bgr.shape[0]
-    return {
-        "metric": "decode_to_bpm_e2e_frames_per_sec",
-        "value": round(T / dt, 1),
-        "unit": "frames/sec",
-        "frames": int(T),
-        "resolution": f"{W}x{H}",
-        "codec": "MJPG",
-        "staging_ring": stats,
-        "note": ("ring stats localize the bottleneck: consumer_blocked >> 0 "
-                 "= decode-bound (1-core host); producer_blocked >> 0 = the "
-                 "consumer side is slower — on this harness that is the "
-                 "remote relay's host->device link (~6 MB/frame over a "
-                 "network tunnel), which real TPU hosts replace with PCIe"),
-    }
+    for fourcc_pref in (("MJPG",), ("avc1", "H264", "XVID")):
+        try:
+            path, codec = _bench_clip(H, W, secs, fourcc_pref)
+        except RuntimeError as e:
+            out["codecs"][fourcc_pref[0]] = {"error": repr(e)}
+            continue
+        entry = {}
+
+        # (1) decode-only: drain the reader, count wall time.
+        for n_dec in (1, 4):
+            with native.NativeVideoReader(path, chunk_frames=64,
+                                          n_decoders=n_dec) as r:
+                t0 = time.perf_counter()
+                n = sum(c.shape[0] for c in r)
+                dt = time.perf_counter() - t0
+            entry[f"decode_only_fps_n{n_dec}"] = round(n / dt, 1)
+
+        # (2) decode + host->device copy, no compute.
+        with native.NativeVideoReader(path, chunk_frames=64) as r:
+            t0 = time.perf_counter()
+            n = 0
+            for c in r:
+                jax.block_until_ready(jnp.asarray(c))
+                n += c.shape[0]
+            dt = time.perf_counter() - t0
+        entry["decode_plus_h2d_fps"] = round(n / dt, 1)
+
+        # (3) fused end-to-end (decode overlapped with device compute).
+        cfg = PipelineConfig(window_seconds=5.0, acquisition_seconds=2.0)
+        stats: dict = {}
+        t0 = time.perf_counter()
+        bgr, valid, fps = offline.extract_signals_streaming(
+            path, cfg, chunk_frames=64, ring_stats=stats, n_decoders=2)
+        dt = time.perf_counter() - t0
+        entry["e2e_fps"] = round(bgr.shape[0] / dt, 1)
+        entry["frames"] = int(bgr.shape[0])
+        entry["staging_ring"] = stats
+        out["codecs"][codec] = entry
+
+    out["value"] = next(iter(out["codecs"].values())).get("e2e_fps", 0.0)
+    out["note"] = (
+        "decode_only vs decode_plus_h2d vs e2e localizes the bottleneck; "
+        "on this harness the host->device link is the remote relay's "
+        "network tunnel (~6 MB/frame), which real TPU hosts replace with "
+        "PCIe.  n_decoders=4 shows the segment-parallel decode path; a "
+        "1-core host cannot show a speedup from it.")
+    return out
 
 
 def bench_kernels() -> dict:

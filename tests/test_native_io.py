@@ -55,3 +55,28 @@ def test_native_writer_roundtrip(clip_file):
     assert fps == pytest.approx(clip.fps)
     assert float(np.mean(np.abs(got[:50].astype(float)
                                 - clip.frames[:50].astype(float)))) < 4.0
+
+
+@pytest.mark.parametrize("n_dec,chunk", [(2, 16), (4, 7), (8, 16)])
+def test_parallel_decode_bit_identical(clip_file, n_dec, chunk):
+    """Segment-parallel decode (n_decoders>1) re-serializes to exactly the
+    sequential frame stream — order, count, and bytes (VERDICT r2 #2)."""
+    def read_all(n):
+        with native.NativeVideoReader(clip_file["path"], chunk_frames=chunk,
+                                      n_decoders=n) as r:
+            chunks = list(r)
+        return np.concatenate(chunks), [c.shape[0] for c in chunks]
+
+    seq, seq_sizes = read_all(1)
+    par, par_sizes = read_all(n_dec)
+    assert par_sizes == seq_sizes
+    np.testing.assert_array_equal(par, seq)
+
+
+def test_parallel_decode_stats(clip_file):
+    with native.NativeVideoReader(clip_file["path"], chunk_frames=16,
+                                  n_decoders=4) as r:
+        n = sum(c.shape[0] for c in r)
+        st = r.stats()
+    assert n == 120
+    assert st["produced"] == st["consumed"] == 8

@@ -52,7 +52,8 @@ def _load():
             raise RuntimeError(f"framestore build failed: {_build_error}")
         lib = ctypes.CDLL(str(_LIB))
         lib.vhr_open.restype = ctypes.c_int64
-        lib.vhr_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.vhr_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_int]
         lib.vhr_meta.restype = ctypes.c_int
         lib.vhr_meta.argtypes = [ctypes.c_int64,
                                  ctypes.POINTER(ctypes.c_double)]
@@ -94,10 +95,16 @@ class NativeVideoReader:
     """
 
     def __init__(self, path: str, chunk_frames: int = 256,
-                 pad_row_to: int = 128):
+                 pad_row_to: int = 128, n_decoders: int = 1):
+        """``n_decoders > 1`` decodes disjoint chunk-aligned segments in
+        parallel (one private VideoCapture per worker, seeked to its
+        segment), re-serialized in order through a sliding-window buffer —
+        SURVEY §7 risk (b): parallel decoder instances so 500 fps of 1080p
+        decode does not starve the chip.  Falls back to one worker when the
+        container reports no frame count (live streams)."""
         self._lib = _load()
         self._h = self._lib.vhr_open(str(path).encode(), chunk_frames,
-                                     pad_row_to)
+                                     pad_row_to, n_decoders)
         if self._h == 0:
             raise IOError(f"native open failed: {path}")
         meta = (ctypes.c_double * 5)()

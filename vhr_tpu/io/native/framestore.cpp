@@ -9,19 +9,28 @@
 // the Pallas ROI kernel's DMA alignment.
 //
 // C ABI (consumed from Python via ctypes — no pybind11 in this image):
-//   vhr_open(path, chunk_frames, pad_row_to)  -> handle (>0) or 0
+//   vhr_open(path, chunk_frames, pad_row_to, n_decoders) -> handle (>0) or 0
 //   vhr_meta(handle, out[5])                  -> width,height,fps,count,ok
 //   vhr_next_chunk(handle, buf, buf_bytes)    -> frames filled (0 = EOF)
 //   vhr_close(handle)
 //   vhr_writer_open(path, w, h, fps, fourcc)  -> handle
 //   vhr_writer_put(handle, buf, n)            -> n written
 //   vhr_writer_close(handle)
+//
+// n_decoders > 1 enables segment-parallel decode (SURVEY §7 risk (b)):
+// each worker owns a private cv::VideoCapture seeked to a disjoint
+// contiguous run of chunk-aligned frame segments; chunks re-serialize
+// through a sliding-window ordered buffer, so the consumer still sees
+// frames strictly in order.  Seek cost note: intra-only codecs (MJPG)
+// seek exactly; inter-frame codecs decode forward from the previous
+// keyframe once per worker at startup.
 
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
-#include <deque>
+#include <limits>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <string>
@@ -40,18 +49,27 @@ struct Chunk {
 };
 
 struct Reader {
-  cv::VideoCapture cap;
+  std::string path;
   int width = 0, height = 0, row_bytes = 0, pad_row_bytes = 0;
   double fps = 0.0;
   int frame_count = 0;
   int chunk_frames = 0;
+  int n_workers = 1;
+  int64_t chunks_total = -1;  // known iff the container reports a count
 
-  std::thread worker;
+  std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv_full, cv_empty;
-  std::deque<std::unique_ptr<Chunk>> ready;
-  size_t max_ready = 3;  // bounded staging ring
-  bool eof = false, stop = false;
+  // Ordered sliding-window staging buffer: only chunk indices in
+  // [next_expected, next_expected + max_ready) may be resident, which both
+  // bounds memory and guarantees the in-order consumer can always make
+  // progress (the needed chunk is always admissible).
+  std::map<int64_t, std::unique_ptr<Chunk>> pending;
+  int64_t next_expected = 0;
+  int64_t eof_chunk = std::numeric_limits<int64_t>::max();
+  size_t max_ready = 3;
+  int done_workers = 0;
+  bool stop = false;
   // Occupancy statistics (under mu): how often each side of the pipeline
   // stalled on the other — consumer_blocked > 0 means decode is the
   // bottleneck; producer_blocked > 0 means device compute is.
@@ -65,48 +83,77 @@ struct Reader {
     }
     cv_full.notify_all();
     cv_empty.notify_all();
-    if (worker.joinable()) worker.join();
+    for (auto& w : workers)
+      if (w.joinable()) w.join();
   }
 
-  void run() {
+  // Blocks until chunk index c fits the window; returns false on stop.
+  bool deliver(int64_t c, std::unique_ptr<Chunk> chunk, bool partial) {
+    std::unique_lock<std::mutex> lk(mu);
+    if (c >= next_expected + static_cast<int64_t>(max_ready) && !stop)
+      ++producer_blocked;
+    cv_full.wait(lk, [&] {
+      return stop || c < next_expected + static_cast<int64_t>(max_ready);
+    });
+    if (stop) return false;
+    if (chunk->n > 0) {
+      pending[c] = std::move(chunk);
+      ++produced;
+    }
+    if (partial)  // chunk was moved if non-empty; presence marks that case
+      eof_chunk = std::min(eof_chunk,
+                           pending.count(c) ? c + 1 : c);
+    cv_empty.notify_all();
+    return true;
+  }
+
+  void run_worker(int wid) {
+    cv::VideoCapture cap(path);
+    int64_t c0 = 0, c1 = std::numeric_limits<int64_t>::max();
+    bool open_ok = cap.isOpened();
+    if (open_ok && chunks_total >= 0) {
+      int64_t per = (chunks_total + n_workers - 1) / n_workers;
+      c0 = static_cast<int64_t>(wid) * per;
+      c1 = std::min(chunks_total, c0 + per);
+      if (c0 > 0 && c0 < c1)
+        cap.set(cv::CAP_PROP_POS_FRAMES,
+                static_cast<double>(c0) * chunk_frames);
+    }
+    if (!open_ok || c0 >= c1) {
+      std::lock_guard<std::mutex> lk(mu);
+      if (!open_ok) eof_chunk = std::min(eof_chunk, c0);
+      ++done_workers;
+      cv_empty.notify_all();
+      return;
+    }
     cv::Mat frame;
-    while (true) {
+    for (int64_t c = c0; c < c1; ++c) {
       auto chunk = std::make_unique<Chunk>();
       chunk->data.resize(static_cast<size_t>(chunk_frames) * height *
                          pad_row_bytes);
       int n = 0;
       while (n < chunk_frames) {
         if (!cap.read(frame)) break;
-        uint8_t* dst =
-            chunk->data.data() + static_cast<size_t>(n) * height * pad_row_bytes;
+        uint8_t* dst = chunk->data.data() +
+                       static_cast<size_t>(n) * height * pad_row_bytes;
         for (int y = 0; y < height; ++y) {
           std::memcpy(dst + static_cast<size_t>(y) * pad_row_bytes,
                       frame.ptr(y), row_bytes);
           if (pad_row_bytes > row_bytes)
-            std::memset(dst + static_cast<size_t>(y) * pad_row_bytes + row_bytes,
-                        0, pad_row_bytes - row_bytes);
+            std::memset(
+                dst + static_cast<size_t>(y) * pad_row_bytes + row_bytes, 0,
+                pad_row_bytes - row_bytes);
         }
         ++n;
       }
       chunk->n = n;
-      bool at_eof = n < chunk_frames;
-      {
-        std::unique_lock<std::mutex> lk(mu);
-        if (ready.size() >= max_ready && !stop) ++producer_blocked;
-        cv_full.wait(lk, [&] { return ready.size() < max_ready || stop; });
-        if (stop) return;
-        if (n > 0) {
-          ready.push_back(std::move(chunk));
-          ++produced;
-        }
-        if (at_eof) {
-          eof = true;
-          cv_empty.notify_all();
-          return;
-        }
-      }
-      cv_empty.notify_all();
+      bool partial = n < chunk_frames;
+      if (!deliver(c, std::move(chunk), partial)) return;
+      if (partial) break;  // actual EOF inside this worker's segment
     }
+    std::lock_guard<std::mutex> lk(mu);
+    ++done_workers;
+    cv_empty.notify_all();
   }
 };
 
@@ -135,13 +182,18 @@ std::shared_ptr<T> lookup(std::unordered_map<int64_t, std::shared_ptr<T>>& m,
 
 extern "C" {
 
-int64_t vhr_open(const char* path, int chunk_frames, int pad_row_to) {
+int64_t vhr_open(const char* path, int chunk_frames, int pad_row_to,
+                 int n_decoders) {
   auto r = std::make_shared<Reader>();
-  if (!r->cap.open(path)) return 0;
-  r->width = static_cast<int>(r->cap.get(cv::CAP_PROP_FRAME_WIDTH));
-  r->height = static_cast<int>(r->cap.get(cv::CAP_PROP_FRAME_HEIGHT));
-  r->fps = r->cap.get(cv::CAP_PROP_FPS);
-  r->frame_count = static_cast<int>(r->cap.get(cv::CAP_PROP_FRAME_COUNT));
+  r->path = path;
+  {
+    cv::VideoCapture probe(path);  // metadata only; workers own their caps
+    if (!probe.isOpened()) return 0;
+    r->width = static_cast<int>(probe.get(cv::CAP_PROP_FRAME_WIDTH));
+    r->height = static_cast<int>(probe.get(cv::CAP_PROP_FRAME_HEIGHT));
+    r->fps = probe.get(cv::CAP_PROP_FPS);
+    r->frame_count = static_cast<int>(probe.get(cv::CAP_PROP_FRAME_COUNT));
+  }
   r->chunk_frames = chunk_frames > 0 ? chunk_frames : 256;
   r->row_bytes = r->width * 3;
   r->pad_row_bytes = r->row_bytes;
@@ -153,8 +205,25 @@ int64_t vhr_open(const char* path, int chunk_frames, int pad_row_to) {
     int64_t rem = r->row_bytes % L;
     if (rem) r->pad_row_bytes = r->row_bytes + static_cast<int>(L - rem);
   }
+  // Segment-parallel decode needs a trustworthy frame count to carve
+  // chunk-aligned segments; unknown-length streams fall back to 1 worker.
+  int nw = n_decoders > 1 ? (n_decoders > 8 ? 8 : n_decoders) : 1;
+  if (r->frame_count > 0) {
+    r->chunks_total =
+        (static_cast<int64_t>(r->frame_count) + r->chunk_frames - 1) /
+        r->chunk_frames;
+    if (nw > r->chunks_total) nw = static_cast<int>(r->chunks_total);
+  } else {
+    nw = 1;
+  }
+  r->n_workers = nw > 0 ? nw : 1;
+  // window must cover at least one in-flight chunk per worker so segment
+  // starts can stage ahead without starving the in-order consumer
+  if (r->max_ready < static_cast<size_t>(r->n_workers) + 1)
+    r->max_ready = static_cast<size_t>(r->n_workers) + 1;
   Reader* raw = r.get();
-  raw->worker = std::thread([raw] { raw->run(); });
+  for (int w = 0; w < r->n_workers; ++w)
+    raw->workers.emplace_back([raw, w] { raw->run_worker(w); });
   int64_t h = g_next.fetch_add(1);
   std::lock_guard<std::mutex> lk(g_mu);
   g_readers[h] = std::move(r);
@@ -172,18 +241,34 @@ int vhr_meta(int64_t handle, double* out5) {
   return 1;
 }
 
-// Blocks until a chunk is ready (or EOF).  Returns frames copied.
+// Blocks until the next in-order chunk is ready (or EOF).  Returns frames
+// copied.
 int vhr_next_chunk(int64_t handle, uint8_t* buf, int64_t buf_bytes) {
   auto r = lookup(g_readers, handle);
   if (!r) return -1;
   std::unique_ptr<Chunk> chunk;
   {
     std::unique_lock<std::mutex> lk(r->mu);
-    if (r->ready.empty() && !r->eof && !r->stop) ++r->consumer_blocked;
-    r->cv_empty.wait(lk, [&] { return !r->ready.empty() || r->eof || r->stop; });
-    if (r->ready.empty()) return 0;  // EOF
-    chunk = std::move(r->ready.front());
-    r->ready.pop_front();
+    auto readyp = [&] {
+      return r->stop || r->pending.count(r->next_expected) ||
+             r->next_expected >= r->eof_chunk ||
+             r->done_workers == r->n_workers;
+    };
+    if (!readyp()) ++r->consumer_blocked;
+    r->cv_empty.wait(lk, readyp);
+    if (r->stop) return 0;
+    auto it = r->pending.find(r->next_expected);
+    if (it == r->pending.end()) {
+      if (r->next_expected >= r->eof_chunk || r->pending.empty())
+        return 0;  // EOF
+      // All workers done but a gap precedes buffered chunks (container
+      // frame-count estimate vs. reality); skip to what exists.
+      r->next_expected = r->pending.begin()->first;
+      it = r->pending.find(r->next_expected);
+    }
+    chunk = std::move(it->second);
+    r->pending.erase(it);
+    ++r->next_expected;
     ++r->consumed;
   }
   r->cv_full.notify_all();

@@ -482,7 +482,8 @@ def extract_signals_streaming(video_path: str,
                               use_fused: bool = False,
                               detect_row_pool: int = 1,
                               gate_margin: Optional[float] = None,
-                              ring_stats: Optional[dict] = None):
+                              ring_stats: Optional[dict] = None,
+                              n_decoders: int = 1):
     """Chunked-decode signal extraction for long recordings.
 
     The reference eagerly reads whole videos into RAM
@@ -501,7 +502,9 @@ def extract_signals_streaming(video_path: str,
     Returns ``(bgr (T, 3), valid (T,), fps)`` host arrays.  If
     ``ring_stats`` is a dict it is filled with the native staging-ring
     occupancy counters (who stalled on whom — see
-    ``io.native.NativeVideoReader.stats``).
+    ``io.native.NativeVideoReader.stats``).  ``n_decoders > 1`` decodes
+    disjoint segments in parallel on the native reader (SURVEY §7 risk (b));
+    output order and values are unchanged.
     """
     import jax
 
@@ -520,7 +523,8 @@ def extract_signals_streaming(video_path: str,
             from ..io import native
             if native.is_available():
                 reader = native.NativeVideoReader(video_path,
-                                                  chunk_frames=chunk_frames)
+                                                  chunk_frames=chunk_frames,
+                                                  n_decoders=n_decoders)
         except Exception:
             reader = None
 
