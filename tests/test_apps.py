@@ -142,3 +142,21 @@ def test_rppg_video_app_learned_detector(clip_file, capsys):
     assert line
     bpm = float(line[0].split(":")[1].split("|")[0])
     assert abs(bpm - 75.0) <= 8.0
+
+
+def test_livestream_plot_out(tmp_path):
+    """--plot with --no-display writes the signal summary panel
+    (reference in-loop plot parity, rppg_LIVESTREAM.py:78-91)."""
+    from vhr_tpu.apps import rppg_livestream
+    from vhr_tpu.io import video as vio
+    from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+    clip = synthesize(SynthSpec(duration_s=2.0, height=48, width=64))
+    path = str(tmp_path / "clip.avi")
+    vio.write_video(clip.frames, path, clip.fps)
+    out = str(tmp_path / "signals.png")
+    rc = rppg_livestream.main(["--video", path, "--max-frames", "20",
+                               "--no-display", "--plot", "--plot-out", out])
+    assert rc == 0
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 5000

@@ -28,11 +28,20 @@ import numpy as np
 
 
 def run(source, cfg, max_frames=None, display=True, k_faces=1,
-        detector=None, pipelined=True) -> int:
+        detector=None, pipelined=True, plot=False, plot_out=None) -> int:
     import cv2
     import jax.numpy as jnp
 
     from ..pipeline import live
+
+    plotter = None
+    if plot or plot_out:
+        # In-loop signal panel parity (rppg_LIVESTREAM.py:78-91,343-345):
+        # raw cheek green + filtered + BPM; interactive when displaying,
+        # summary PNG on exit when headless.
+        from ..utils.live_plot import LivePlotter
+        plotter = LivePlotter(maxlen=cfg.ring_len, show=plot and display,
+                              out_path=plot_out)
 
     cam = cv2.VideoCapture(source)
     if not cam.isOpened():
@@ -66,6 +75,10 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
                 bpms = np.atleast_1d(out.bpm)
                 bpm_ok = np.atleast_1d(out.bpm_valid)
                 face_ok = np.atleast_1d(out.face_valid)
+                if plotter is not None:
+                    plotter.push(float(np.atleast_1d(out.green_raw)[0]),
+                                 float(np.atleast_1d(out.green_filtered)[0]),
+                                 float(bpms[0]), bool(bpm_ok[0]))
                 if bpm_ok.any():
                     if len(bpms) == 1:    # reference format, rppg_LIVESTREAM
                         print(f"Bpm after filtering: {bpms[0]:.2f}")
@@ -97,6 +110,10 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
     if last is not None and np.atleast_1d(last.bpm_valid).any():
         bpms = np.atleast_1d(last.bpm)
         print(f"Bpm after filtering: {bpms[0]:.2f}")
+    if plotter is not None:
+        saved = plotter.close()
+        if saved:
+            print(f"wrote signal plot to {saved}")
     dt = time.perf_counter() - t_start
     if n:
         print(f"processed {n} frames in {dt:.1f}s ({n / dt:.1f} fps)")
@@ -115,6 +132,14 @@ def main(argv=None) -> int:
                    help="replay a video file instead of a camera")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--no-display", action="store_true")
+    p.add_argument("--plot", action="store_true",
+                   help="live raw/filtered/BPM signal panel next to the "
+                        "camera window (the reference's in-loop matplotlib "
+                        "traces, rppg_LIVESTREAM.py:78-91); with "
+                        "--no-display, implies a summary PNG on exit")
+    p.add_argument("--plot-out", default=None, metavar="PNG",
+                   help="write the signal panel to this file on exit "
+                        "(works headless)")
     p.add_argument("--sync", action="store_true",
                    help="read each frame's output before grabbing the next "
                         "(default is 1-frame-deep pipelining: dispatch N+1 "
@@ -155,9 +180,13 @@ def main(argv=None) -> int:
                                   gate_margin=0.15)
     source = args.video if args.video is not None else args.camera
     print("PRESS q to quit -- PRESS spacebar to pause")
+    plot_out = args.plot_out
+    if args.plot and args.no_display and plot_out is None:
+        plot_out = "livestream_signals.png"
     return run(source, cfg, max_frames=args.max_frames,
                display=not args.no_display, k_faces=args.faces,
-               detector=detector, pipelined=not args.sync)
+               detector=detector, pipelined=not args.sync,
+               plot=args.plot, plot_out=plot_out)
 
 
 if __name__ == "__main__":
