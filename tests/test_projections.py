@@ -1,10 +1,10 @@
-"""CHROM / POS chrominance projections: pulse recovery + motion rejection."""
+"""CHROM / POS / OMIT chrominance projections: pulse recovery + motion rejection."""
 
 import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from vhr_tpu.dsp.projections import chrom_pulse, pos_pulse
+from vhr_tpu.dsp.projections import chrom_pulse, omit_pulse, pos_pulse
 from vhr_tpu.config import PipelineConfig
 from vhr_tpu.pipeline import offline
 from vhr_tpu.utils.synth import SynthSpec, synthesize
@@ -38,7 +38,7 @@ def _peak_bpm(x, fps=30.0):
     return fr[band][np.argmax(F[band])]
 
 
-@pytest.mark.parametrize("fn", [chrom_pulse, pos_pulse])
+@pytest.mark.parametrize("fn", [chrom_pulse, pos_pulse, omit_pulse])
 def test_projection_recovers_clean_pulse(fn):
     bgr, _ = _bvp_traces(bpm=75.0, noise=0.05)
     valid = jnp.ones(bgr.shape[0], bool)
@@ -46,7 +46,7 @@ def test_projection_recovers_clean_pulse(fn):
     assert abs(_peak_bpm(pulse) - 75.0) <= 2.5
 
 
-@pytest.mark.parametrize("fn", [chrom_pulse, pos_pulse])
+@pytest.mark.parametrize("fn", [chrom_pulse, pos_pulse, omit_pulse])
 def test_projection_rejects_common_mode_flicker(fn):
     """An in-band intensity flicker 20x stronger than the pulse dominates
     the raw green trace but not the chrominance projections — the defining
@@ -59,7 +59,7 @@ def test_projection_rejects_common_mode_flicker(fn):
     assert abs(_peak_bpm(pulse) - 72.0) <= 2.5                   # proj robust
 
 
-@pytest.mark.parametrize("fn", [chrom_pulse, pos_pulse])
+@pytest.mark.parametrize("fn", [chrom_pulse, pos_pulse, omit_pulse])
 def test_projection_handles_dropouts(fn):
     bgr, _ = _bvp_traces(bpm=66.0, noise=0.05)
     valid = np.ones(bgr.shape[0], bool)
@@ -69,7 +69,7 @@ def test_projection_handles_dropouts(fn):
     assert np.isfinite(np.asarray(pulse)).all()
 
 
-@pytest.mark.parametrize("method", ["chrom", "pos"])
+@pytest.mark.parametrize("method", ["chrom", "pos", "omit"])
 def test_measure_projection_pipeline(method):
     """Full pipeline: synthetic face video -> detector -> projection ->
     rolling BPM."""
@@ -89,6 +89,7 @@ def test_projection_plugins_registered(tmp_path):
 
     assert "chrom" in registry.measurements()
     assert "pos" in registry.measurements()
+    assert "omit" in registry.measurements()
     clip = synthesize(SynthSpec(duration_s=14.0, bpm=72.0, height=48,
                                 width=64, noise_std=0.5))
     path = tmp_path / "c.mp4"

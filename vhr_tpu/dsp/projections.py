@@ -11,6 +11,11 @@ intensity changes (specular/motion), keeping the blood-volume pulse.
 * **POS** (Wang et al., IEEE TBME 2017): per-window normalized
   ``S1 = G - B``, ``S2 = G + B - 2R``; pulse ``S1 + (sigma_1/sigma_2) S2``,
   mean-removed and overlap-added with stride 1.
+* **OMIT** (Alvarez Casado & Bordallo Lopez, "Face2PPG", 2023): per-window
+  QR orthogonalization of the (3, L) channel matrix — the first orthonormal
+  direction captures the dominant (skin/intensity) component and the pulse
+  is the green row of the residual after projecting it out.  Data-adaptive
+  (no fixed skin-tone assumption), unlike CHROM/POS's fixed axes.
 
 TPU-first implementation: every sliding window is one row of a gathered
 ``(n_windows, L)`` tensor — all statistics, projections, and the overlap-add
@@ -26,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chrom_pulse", "pos_pulse"]
+__all__ = ["chrom_pulse", "pos_pulse", "omit_pulse"]
 
 
 def _ffill_rows(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -119,3 +124,42 @@ def pos_pulse(bgr: jnp.ndarray, valid: jnp.ndarray, fps: float,
     pulse = jnp.zeros((T,), jnp.float32).at[idx.reshape(-1)].add(
         h.reshape(-1))
     return pulse
+
+
+def omit_pulse(bgr: jnp.ndarray, valid: jnp.ndarray, fps: float,
+               window_seconds: float = 1.6) -> jnp.ndarray:
+    """OMIT pulse signal from (T, 3) BGR ROI means -> (T,).
+
+    Per 50%-overlapping Hann window: project the raw (3, L) channel matrix
+    onto the complement of its dominant color direction (``P = I - q q^T``)
+    and overlap-add the green row of ``P C``.  The published algorithm
+    takes ``q = Q[:, 0]`` of the raw matrix's QR — which Gram-Schmidt makes
+    exactly the normalized FIRST time sample's RGB vector; here ``q`` is
+    the normalized window-mean color instead, identical to first order for
+    slowly-varying illumination but robust to single-sample noise (one
+    batched matvec instead of N QRs, too).
+    """
+    T = bgr.shape[0]
+    L = int(max(4, min(T, round(window_seconds * fps))))
+    step = max(1, L // 2)
+    filled = _ffill_rows(bgr, valid)
+    rgb = filled[:, ::-1]                                # (T, 3) RGB order
+
+    idx = jnp.asarray(_windows(T, L, step))              # (N, L)
+    eps = 1e-9
+    C = jnp.transpose(rgb[idx], (0, 2, 1))               # (N, 3, L)
+    mean = jnp.mean(C, axis=2)                           # (N, 3)
+    q0 = mean / (jnp.linalg.norm(mean, axis=1,
+                                 keepdims=True) + eps)   # (N, 3)
+    coef = jnp.einsum("nc,ncl->nl", q0, C)               # (N, L)
+    resid = C - q0[:, :, None] * coef[:, None, :]
+    s = resid[:, 1, :]                                   # (N, L) green row
+    s = s - jnp.mean(s, axis=1, keepdims=True)
+
+    win = jnp.asarray(np.hanning(idx.shape[1]), jnp.float32)
+    s = s * win[None, :]
+    pulse = jnp.zeros((T,), jnp.float32).at[idx.reshape(-1)].add(
+        s.reshape(-1))
+    norm_w = jnp.zeros((T,), jnp.float32).at[idx.reshape(-1)].add(
+        jnp.broadcast_to(win, idx.shape).reshape(-1))
+    return pulse / jnp.maximum(norm_w, eps)

@@ -60,6 +60,17 @@ class FaceGenConfig:
     noise_std: float = 0.02
     max_distractors: int = 3
     held_out: bool = False
+    # Multi-face-scene training (VERDICT r2 #5): the tiled multi-face
+    # detector sweeps windows that often contain a SECOND subject at the
+    # edge; train-time samples mirror that.  ``second_face_prob``: render a
+    # partial off-center secondary face UNDER the primary (supervision
+    # stays pinned to the primary — the model must box the dominant face,
+    # not the union).  ``clipped_face_neg_prob``: on no-face samples, draw
+    # a mostly-out-of-frame face and keep the label negative (a window
+    # seeing <~half a face should NOT claim it; the overlapping neighbor
+    # window sees it centered).
+    second_face_prob: float = 0.25
+    clipped_face_neg_prob: float = 0.15
 
 
 def _tone(cfg: FaceGenConfig, rng: np.random.Generator) -> np.ndarray:
@@ -143,6 +154,17 @@ def sample_one(cfg: FaceGenConfig, rng: np.random.Generator,
         cy = rng.uniform(0.3, 0.7) * s
         ang = np.deg2rad(rng.uniform(-angle_max, angle_max))
         tone = _tone(cfg, rng)
+        if rng.random() < cfg.second_face_prob:
+            # Secondary subject at/over the window edge, drawn FIRST so the
+            # primary occludes on overlap; supervision stays the primary.
+            rx2 = rng.uniform(*scale_r) * s
+            ry2 = rx2 * rng.uniform(*aspect_r)
+            side = rng.choice([-1.0, 1.0])
+            cx2 = (0.5 + side * rng.uniform(0.45, 0.65)) * s
+            cy2 = rng.uniform(0.2, 0.8) * s
+            ang2 = np.deg2rad(rng.uniform(-angle_max, angle_max))
+            _render_face(img, xx, yy, cx2, cy2, rx2, ry2, ang2,
+                         _tone(cfg, rng), cfg, rng)
         _render_face(img, xx, yy, cx, cy, rx, ry, ang, tone, cfg, rng)
         # Occluder AFTER the face (covers part of it).
         if rng.random() < cfg.occlusion_prob:
@@ -163,6 +185,23 @@ def sample_one(cfg: FaceGenConfig, rng: np.random.Generator,
         lms[:, 0] = (cx + ex * ca - ey * sa) / s
         lms[:, 1] = (cy + ex * sa + ey * ca) / s
         lms = np.clip(lms, 0.0, 1.0)
+
+    if not has and rng.random() < cfg.clipped_face_neg_prob:
+        # Hard negative: a face with its center OUTSIDE the window (under
+        # half visible) — windows must not claim a subject the overlapping
+        # neighbor window owns.
+        rxn = rng.uniform(*scale_r) * s
+        ryn = rxn * rng.uniform(*aspect_r)
+        side = rng.choice([-1.0, 1.0])
+        if rng.random() < 0.5:
+            cxn = (0.5 + side * rng.uniform(0.52, 0.62)) * s
+            cyn = rng.uniform(0.2, 0.8) * s
+        else:
+            cxn = rng.uniform(0.2, 0.8) * s
+            cyn = (0.5 + side * rng.uniform(0.52, 0.62)) * s
+        angn = np.deg2rad(rng.uniform(-angle_max, angle_max))
+        _render_face(img, xx, yy, cxn, cyn, rxn, ryn, angn,
+                     _tone(cfg, rng), cfg, rng)
 
     # Colored lighting: independent per-channel gain.
     gain = rng.uniform(*cfg.light_gain, 3).astype(np.float32)

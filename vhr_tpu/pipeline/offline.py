@@ -329,7 +329,8 @@ def measure_projection(frames: jnp.ndarray, fps: float,
                        detector: Optional[DetectorFn] = None,
                        use_pallas: bool = False
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Chrominance-projection measures: ``method`` in {"chrom", "pos"}.
+    """Chrominance-projection measures: ``method`` in {"chrom", "pos",
+    "omit"}.
 
     Same contract as :func:`measure_green_avg` but the scalar pulse comes
     from a motion-robust RGB projection (``dsp.projections``) instead of
@@ -337,10 +338,11 @@ def measure_projection(frames: jnp.ndarray, fps: float,
     (``analysis/measurement/``), these reject common-mode intensity
     changes (lighting flicker, small motion) by construction.
     """
-    from ..dsp.projections import chrom_pulse, pos_pulse
+    from ..dsp.projections import chrom_pulse, omit_pulse, pos_pulse
 
     trace = extract_signals(frames, cfg, detector, use_pallas)
-    fn = {"chrom": chrom_pulse, "pos": pos_pulse}[method]
+    fn = {"chrom": chrom_pulse, "pos": pos_pulse,
+          "omit": omit_pulse}[method]
     pulse = fn(trace.bgr, trace.valid, fps)
     rolling = vwin.rolling_bpm(
         pulse, fps, cfg.band,
