@@ -294,20 +294,47 @@ class LivePipeline:
 
     def __init__(self, cfg: LiveConfig = LiveConfig(), detector=None,
                  k_faces: int = 1, donate: bool = True):
-        if k_faces > 1:
-            self._step = make_step_multi(cfg, k_faces, detector=detector,
-                                         donate=donate)
-            self._state = init_state_multi(cfg, k_faces)
+        from .offline import _split_detector as _split
+        if detector is None:
+            det_fn, det_args = None, ()
         else:
-            self._step = make_step(cfg, donate=donate, detector=detector)
-            self._state = init_state(cfg)
-        self._pending: Optional[LiveOutput] = None
+            if cfg.use_fused:
+                raise ValueError("use_fused runs the in-kernel skin "
+                                 "detector; pass detector=None")
+            det_fn, det_args = _split(detector)
+        self._multi = k_faces > 1
 
-    @staticmethod
-    def _materialize(out: LiveOutput) -> LiveOutput:
-        # jax.device_get on the pytree; fetching values (not
-        # block_until_ready) is the only reliable sync through the relay.
-        return LiveOutput(*(np.asarray(x) for x in out))
+        # The step's whole output is packed into ONE float32 tensor inside
+        # the jitted program: the host then syncs with a single value fetch
+        # (one relay/grpc round trip) instead of one per output field —
+        # measured on the relay, a per-field fetch costs ~25 ms each and
+        # erases the pipelining win.
+        def packed(state, frame, args):
+            if self._multi:
+                s2, o = _step_multi_impl(state, frame, args, cfg, k_faces,
+                                         det_fn)
+            else:
+                s2, o = _step_impl(state, frame, args, cfg, det_fn)
+            f32 = lambda x: jnp.asarray(x, jnp.float32)
+            vec = jnp.concatenate([
+                jnp.stack([f32(o.bpm), f32(o.bpm_valid), f32(o.green_raw),
+                           f32(o.green_filtered), f32(o.face_valid)],
+                          axis=-1),
+                f32(o.box)], axis=-1)                     # (..., 9)
+            return s2, vec
+
+        jitted = jax.jit(packed, donate_argnums=(0,) if donate else ())
+        self._step = lambda s, f: jitted(s, f, det_args)
+        self._state = (init_state_multi(cfg, k_faces) if self._multi
+                       else init_state(cfg))
+        self._pending = None
+
+    def _materialize(self, vec) -> LiveOutput:
+        a = np.asarray(vec)                  # the single blocking fetch
+        return LiveOutput(bpm=a[..., 0], bpm_valid=a[..., 1] > 0.5,
+                          green_raw=a[..., 2], green_filtered=a[..., 3],
+                          box=a[..., 5:9].astype(np.int32),
+                          face_valid=a[..., 4] > 0.5)
 
     def submit(self, frame) -> Optional[LiveOutput]:
         """Enqueue ``frame``; return the previous frame's output (host
