@@ -517,11 +517,13 @@ def bench_kernels() -> dict:
 
     @jax.jit
     def roi_reps(flat, rois, seed):
+        # Kernel-only number: frames stay resident in HBM; relay result
+        # caching is defeated by shifting the ROI box per rep (distinct
+        # outputs), not by rewriting the 1.6 GB frame stack.
         def body(c, i):
-            fr = jax.lax.optimization_barrier(
-                flat + jax.lax.rem(i + seed, jnp.uint8(4)))
+            r = rois + (i + seed).astype(jnp.int32) % 4
             means, _ = roi_channel_means_pallas_batched(
-                fr, rois, interpret=interp, channels=3)
+                flat, r, interpret=interp, channels=3)
             return c + jnp.sum(means), None
         out, _ = jax.lax.scan(body, jnp.float32(0),
                               jnp.arange(REPS, dtype=jnp.uint8))
@@ -547,7 +549,11 @@ def bench_kernels() -> dict:
         "fused_pool8_gated_us_per_frame": round(timed_us(fused_reps), 2),
         "unit": "us/frame",
         "config": {"frames": T, "h": H, "w": W, "reps": REPS,
-                   "layout": "flat (T, H, W*3)"},
+                   "layout": "flat (T, H, W*3)",
+                   "note": ("roi number is kernel-only (resident frames); "
+                            "fused number includes per-rep input "
+                            "materialization (one extra HBM write+read "
+                            "per frame, same convention as the flagship)")},
     }
 
 
