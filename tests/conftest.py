@@ -62,6 +62,11 @@ _SLOW_TESTS = {
     "test_roi_detector_pose_robust_pipeline",
     "test_projection_plugins_registered",
     "test_rppg_video_app_learned_detector",
+    # real-face corpus: each drives the 21 s-compile mediapipe graph on CPU
+    "test_production_detector_on_real_photo",
+    "test_production_detector_tracks_moving_real_face",
+    "test_real_face_bpm_recovery_production_path",
+    "test_real_face_detector_domain_contrast",
 }
 
 

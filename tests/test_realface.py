@@ -1,0 +1,107 @@
+"""Real-face validation: the production-weight detector + full pipeline on
+an actual photograph (matplotlib's bundled portrait), with a known injected
+pulse — the closest this image gets to the reference's private real-video
+corpus (``/root/reference/analysis/utils/video_io.py:60-77``)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vhr_tpu.utils import realface
+
+
+def _iou(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    ix = np.maximum(0.0, np.minimum(a[..., 2], b[..., 2])
+                    - np.maximum(a[..., 0], b[..., 0]))
+    iy = np.maximum(0.0, np.minimum(a[..., 3], b[..., 3])
+                    - np.maximum(a[..., 1], b[..., 1]))
+    inter = ix * iy
+    ua = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    ub = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    return inter / np.maximum(ua + ub - inter, 1.0)
+
+
+@pytest.fixture(scope="module")
+def photo():
+    img = realface.real_face_image()
+    if img is None:
+        pytest.skip("no bundled real-face asset in this environment")
+    return img
+
+
+@pytest.fixture(scope="module")
+def mp_detector():
+    from vhr_tpu.models.mediapipe_face import make_mediapipe_detector
+    return make_mediapipe_detector()
+
+
+def test_real_face_clip_generation(photo):
+    clip = realface.synthesize_real_face_clip(
+        bpm=72.0, fps=10.0, duration_s=3.0, scale=0.5)
+    assert clip.frames.shape == (30, photo.shape[0] // 2,
+                                 photo.shape[1] // 2, 3)
+    assert clip.frames.dtype == np.uint8
+    assert clip.face_boxes.shape == (30, 4)
+    # The injected pulse must actually move the green mean inside the box.
+    x1, y1, x2, y2 = clip.face_boxes[0]
+    g = clip.frames[:, y1:y2, x1:x2, 1].mean(axis=(1, 2))
+    assert g.std() > 0.2
+    # Boxes track the rigid motion (bounded drift from the pinned oracle).
+    drift = np.abs(clip.face_boxes.astype(np.float64)
+                   - np.asarray(realface.REAL_FACE_BOX) * 0.5)
+    assert drift.max() <= 2.0
+
+
+def test_production_detector_on_real_photo(photo, mp_detector):
+    boxes, valid = mp_detector(jnp.asarray(photo[None]))
+    assert bool(np.asarray(valid)[0])
+    iou = _iou(np.asarray(boxes)[0], realface.REAL_FACE_BOX)
+    assert iou >= 0.9, f"production box drifted from pinned oracle: {iou:.3f}"
+
+
+def test_production_detector_tracks_moving_real_face(mp_detector):
+    clip = realface.synthesize_real_face_clip(
+        bpm=72.0, fps=10.0, duration_s=0.8, scale=0.5, motion_px=2.0)
+    boxes, valid = mp_detector(jnp.asarray(clip.frames))
+    assert bool(np.asarray(valid).all())
+    ious = _iou(np.asarray(boxes), clip.face_boxes)
+    assert ious.min() >= 0.9, f"tracking IoU dropped: {ious.min():.3f}"
+
+
+def test_real_face_bpm_recovery_production_path(mp_detector):
+    from vhr_tpu.pipeline import offline
+    clip = realface.synthesize_real_face_clip(
+        bpm=84.0, fps=10.0, duration_s=12.0, scale=0.5)
+    cfg = offline.PipelineConfig(window_seconds=8.0, acquisition_seconds=4.0)
+    _, bpm, valid = offline.measure_green_avg(
+        jnp.asarray(clip.frames), clip.fps, cfg=cfg, detector=mp_detector)
+    bpm = np.asarray(bpm)
+    valid = np.asarray(valid).astype(bool)
+    assert valid.sum() >= 40
+    tail = np.median(bpm[valid][-10:])
+    # FFT bin width is 60/window_s = 7.5 BPM; nearest-bin recovery.
+    assert abs(tail - clip.bpm_truth) <= 4.0, f"tail {tail}"
+
+
+def test_real_face_detector_domain_contrast(photo, mp_detector):
+    """Pins the measured domain story (docs/DETECTION.md): on real imagery
+    the production weights dominate the synthetic-trained learned detector
+    and the chroma heuristic by a wide margin."""
+    from vhr_tpu.models import cascade, skin_detector
+    frames = jnp.asarray(photo[None])
+
+    mp_b, mp_v = mp_detector(frames)
+    mp_iou = _iou(np.asarray(mp_b)[0], realface.REAL_FACE_BOX)
+
+    lm_b, lm_v = cascade.load_default_refined_detector()(frames)
+    lm_iou = _iou(np.asarray(lm_b)[0], realface.REAL_FACE_BOX)
+
+    ch_b, ch_v = skin_detector.detect_faces(frames)
+    ch_iou = _iou(np.asarray(ch_b)[0], realface.REAL_FACE_BOX)
+
+    assert bool(np.asarray(mp_v)[0])
+    assert mp_iou >= 0.9
+    assert mp_iou > lm_iou + 0.3
+    assert mp_iou > ch_iou + 0.3
