@@ -34,6 +34,7 @@ _MEASUREMENTS: Dict[str, str] = {
     "chrom": "vhr_tpu.analysis.measurement.chrom",
     "pos": "vhr_tpu.analysis.measurement.pos",
     "omit": "vhr_tpu.analysis.measurement.omit",
+    "adaptive": "vhr_tpu.analysis.measurement.adaptive",
     "green_avg_psd": "vhr_tpu.analysis.measurement.green_avg_psd",
     "app_welch": "vhr_tpu.analysis.measurement.app_welch",
     "evm": "vhr_tpu.analysis.measurement.evm",

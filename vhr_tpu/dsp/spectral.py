@@ -31,6 +31,7 @@ __all__ = [
     "welch_psd",
     "estimate_bpm_welch",
     "bpm_peak_from_spectrum",
+    "band_snr",
 ]
 
 
@@ -85,6 +86,43 @@ def estimate_bpm(signal: jnp.ndarray, fs: float, band: HRBand) -> BPMEstimate:
     if n < 8:  # reference: analysis/utils/estimate_bpm.py:31
         est = est._replace(valid=jnp.zeros_like(est.valid))
     return est
+
+
+def band_snr(signal: jnp.ndarray, fs: float, band: HRBand,
+             guard_bins: int = 1,
+             target_bpm: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """In-band spectral SNR of ``(..., T)`` windows (power ratio, not dB).
+
+    Signal quality in the classic rPPG sense (de Haan & Jeanne 2013 sec.
+    IV): power in a peak neighborhood (± ``guard_bins`` bins) over the
+    remaining in-band power.  With ``target_bpm=None`` the neighborhood
+    centers on the window's own dominant in-band bin; passing a
+    ``target_bpm`` (broadcastable to the leading shape) scores the
+    neighborhood of *that* frequency instead — how much of the window's
+    band energy backs a given hypothesis.  The self-peak form rewards any
+    strong periodicity (a clean flicker scores high); the targeted form is
+    what the adaptive selector uses, anchored to the cross-method
+    consensus (``pipeline.offline.adaptive_pulse_select``).  No reference
+    counterpart (the reference never scores its signals,
+    ``analysis/utils/estimate_bpm.py``).
+    """
+    n = signal.shape[-1]
+    freqs, mask = _band_freqs(n, fs, band)
+    mask_j = jnp.asarray(mask)
+    x = signal - jnp.mean(signal, axis=-1, keepdims=True)
+    power = jnp.abs(jnp.fft.rfft(x, axis=-1)) ** 2
+    banded = jnp.where(mask_j, power, 0.0)
+    if target_bpm is None:
+        idx = jnp.argmax(jnp.where(mask_j, power, -jnp.inf), axis=-1)
+    else:
+        # Nearest rfft bin to the hypothesis frequency: k = f * n / fs.
+        idx = jnp.clip(jnp.round(target_bpm / 60.0 * n / fs),
+                       0, power.shape[-1] - 1).astype(jnp.int32)
+    bins = jnp.arange(power.shape[-1])
+    near = jnp.abs(bins - idx[..., None]) <= guard_bins
+    peak = jnp.sum(jnp.where(near, banded, 0.0), axis=-1)
+    rest = jnp.sum(banded, axis=-1) - peak
+    return peak / jnp.maximum(rest, 1e-12)
 
 
 def estimate_bpm_multichannel(signal: jnp.ndarray, fs: float,

@@ -26,7 +26,7 @@ from ..config import HRBand
 from ..dsp import spectral
 
 __all__ = ["sliding_windows", "RollingBPM", "rolling_bpm_fft",
-           "rolling_bpm_welch", "rolling_bpm"]
+           "rolling_bpm_welch", "rolling_bpm", "rolling_band_snr"]
 
 
 def sliding_windows(x: jnp.ndarray, length: int) -> jnp.ndarray:
@@ -139,6 +139,30 @@ def rolling_bpm_welch(signal: jnp.ndarray, fps: float, band: HRBand,
         bpm = bpm.at[window_len - 1:].set(est.bpm)
         valid = valid.at[window_len - 1:].set(est.valid)
     return RollingBPM(bpm=bpm, valid=valid)
+
+
+def rolling_band_snr(signal: jnp.ndarray, fps: float, band: HRBand,
+                     window_len: int,
+                     target_bpm=None) -> jnp.ndarray:
+    """Per-frame in-band SNR over full-length sliding windows -> ``(T,)``.
+
+    The rolling companion of :func:`vhr_tpu.dsp.spectral.band_snr`: frame
+    ``i >= window_len - 1`` scores ``signal[i-W+1 : i+1]`` (at its own
+    dominant bin, or at ``target_bpm[i]`` when a per-frame hypothesis is
+    given); earlier (ramp) frames get ``-inf`` — the adaptive selector
+    treats "no full window yet" as "no quality information" and falls back
+    to its first-listed method.
+    """
+    T = signal.shape[0]
+    x = (signal if jnp.issubdtype(signal.dtype, jnp.floating)
+         else signal.astype(jnp.float32))
+    out = jnp.full((T,), -jnp.inf, x.dtype)
+    if T >= window_len:
+        wins = sliding_windows(x, window_len)               # (T-W+1, W)
+        tgt = None if target_bpm is None else target_bpm[window_len - 1:]
+        out = out.at[window_len - 1:].set(
+            spectral.band_snr(wins, fps, band, target_bpm=tgt))
+    return out
 
 
 def rolling_bpm(signal: jnp.ndarray, fps: float, band: HRBand,

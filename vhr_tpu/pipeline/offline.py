@@ -37,6 +37,9 @@ __all__ = [
     "measure_green_avg_multi",
     "measure_ica",
     "measure_projection",
+    "measure_adaptive",
+    "AdaptiveResult",
+    "adaptive_pulse_select",
     "measure_app_welch",
     "to_measurement_array",
 ]
@@ -354,6 +357,102 @@ def measure_projection(frames: jnp.ndarray, fps: float,
     ts = np.arange(T) / fps
     valid = jnp.logical_and(rolling.valid, trace.valid)
     return ts, np.asarray(rolling.bpm), np.asarray(valid)
+
+
+class AdaptiveResult(NamedTuple):
+    ts: np.ndarray        # (T,) seconds
+    bpm: np.ndarray       # (T,) selected-method estimate
+    valid: np.ndarray     # (T,) bool
+    choice: np.ndarray    # (T,) int index into `methods` (0 during ramp)
+    snr: np.ndarray       # (M, T) per-method in-band SNR (-inf during ramp)
+
+
+def adaptive_pulse_select(bgr: jnp.ndarray, valid: jnp.ndarray, fps: float,
+                          cfg: PipelineConfig = PipelineConfig(),
+                          methods: Tuple[str, ...] = ("green", "chrom",
+                                                      "pos", "omit")):
+    """Per-window best-of-breed pulse selection from (T, 3) BGR ROI means.
+
+    Builds every candidate pulse construction (raw green mean plus the
+    CHROM/POS/OMIT chrominance projections, ``dsp.projections``) and takes
+    each frame's BPM from the best-scoring method.  Scoring is
+    consensus-anchored SNR: each window is scored by its spectral power
+    near the *cross-method median* BPM (``dsp.spectral.band_snr`` with
+    ``target_bpm``), not near its own peak — a method captured by a strong
+    off-consensus periodicity (the green mean under in-band intensity
+    flicker) concentrates its energy away from the consensus and scores
+    near zero, while self-peak SNR would reward exactly that failure.
+    Rationale: the projections dominate under common-mode artifacts but
+    the raw green mean is the lower-noise choice on clean, still footage —
+    the best method is a property of the *window*, not the recording.  No
+    reference counterpart (the reference fixes one method per run,
+    ``analysis/main.py:79-81``); ``methods[0]`` serves ramp frames, where
+    no full window exists to score.
+
+    Returns ``(bpm (T,), valid (T,), choice (T,), snr (M, T))`` as jnp
+    arrays.
+    """
+    from ..dsp.projections import chrom_pulse, omit_pulse, pos_pulse
+
+    builders = {
+        "green": lambda: _fill_invalid(bgr[:, cfg.channel], valid),
+        "chrom": lambda: chrom_pulse(bgr, valid, fps),
+        "pos": lambda: pos_pulse(bgr, valid, fps),
+        "omit": lambda: omit_pulse(bgr, valid, fps),
+    }
+    W = cfg.window_len(fps)
+    A = cfg.acquisition_len(fps)
+    pulses, bpms, oks = [], [], []
+    for m in methods:
+        pulse = builders[m]()
+        rolling = vwin.rolling_bpm(
+            pulse, fps, cfg.band, window_len=W, acquisition_len=A,
+            estimator=cfg.estimator,
+            segment_seconds=cfg.welch.segment_seconds)
+        pulses.append(pulse)
+        bpms.append(rolling.bpm)
+        oks.append(rolling.valid)
+    bpm_m = jnp.stack(bpms)                              # (M, T)
+    ok_m = jnp.stack(oks)
+    # Cross-method consensus frequency per frame (median over valid
+    # methods; frames with no valid method keep a harmless 0 target).
+    consensus = jnp.nanmedian(
+        jnp.where(ok_m, bpm_m, jnp.nan), axis=0)         # (T,)
+    consensus = jnp.nan_to_num(consensus)
+    snr_m = jnp.stack([
+        vwin.rolling_band_snr(p, fps, cfg.band, W, target_bpm=consensus)
+        for p in pulses])                                # (M, T)
+    # Invalid methods never win; all -inf (ramp) -> argmax picks index 0.
+    ranked = jnp.where(ok_m, snr_m, -jnp.inf)
+    choice = jnp.argmax(ranked, axis=0)                  # (T,)
+    take = lambda a: jnp.take_along_axis(a, choice[None, :], axis=0)[0]
+    return take(bpm_m), take(ok_m), choice, snr_m
+
+
+def measure_adaptive(frames: jnp.ndarray, fps: float,
+                     cfg: PipelineConfig = PipelineConfig(),
+                     detector: Optional[DetectorFn] = None,
+                     use_pallas: bool = False,
+                     methods: Tuple[str, ...] = ("green", "chrom",
+                                                 "pos", "omit")
+                     ) -> AdaptiveResult:
+    """Adaptive measurement: per-window SNR-ranked method selection.
+
+    Same front end as :func:`measure_green_avg` (detector -> ROI -> BGR
+    means) but the estimate behind each frame comes from whichever pulse
+    construction scores the highest in-band SNR on that frame's window —
+    see :func:`adaptive_pulse_select`.  ``AdaptiveResult.choice``/``snr``
+    expose the selection for observability.
+    """
+    trace = extract_signals(frames, cfg, detector, use_pallas)
+    bpm, ok, choice, snr = adaptive_pulse_select(
+        trace.bgr, trace.valid, fps, cfg, methods)
+    T = frames.shape[0]
+    ts = np.arange(T) / fps
+    valid = jnp.logical_and(ok, trace.valid)
+    return AdaptiveResult(ts=ts, bpm=np.asarray(bpm),
+                          valid=np.asarray(valid),
+                          choice=np.asarray(choice), snr=np.asarray(snr))
 
 
 def measure_ica(frames: jnp.ndarray, fps: float,
