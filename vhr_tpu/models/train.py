@@ -139,13 +139,17 @@ def synth_batch(cfg: TrainConfig, rng: np.random.Generator
 
 
 def train(cfg: TrainConfig, steps: int, seed: int = 0, mesh: Mesh = None,
-          log_every: int = 0, init_params=None):
+          log_every: int = 0, init_params=None, batch_fn=None):
     """Train the landmarker on synthetic faces; returns (model, params, losses).
 
     ``init_params`` warm-starts from an existing checkpoint (fine-tuning:
     pair with a lower ``cfg.learning_rate`` / shorter ``cfg.total_steps``
-    cosine horizon); the optimizer state starts fresh.
+    cosine horizon); the optimizer state starts fresh.  ``batch_fn``
+    overrides the data source (default :func:`synth_batch`; e.g.
+    ``realgen.make_mixed_batch_fn`` for real-photo distillation).
     """
+    if batch_fn is None:
+        batch_fn = synth_batch
     rng = np.random.default_rng(seed)
     model, params, tx, opt_state = init_state(cfg, jax.random.PRNGKey(seed))
     if init_params is not None:
@@ -157,7 +161,7 @@ def train(cfg: TrainConfig, steps: int, seed: int = 0, mesh: Mesh = None,
                               param_shardings(params, mesh))
     losses_dev = []
     for i in range(steps):
-        batch = jax.tree.map(jnp.asarray, synth_batch(cfg, rng))
+        batch = jax.tree.map(jnp.asarray, batch_fn(cfg, rng))
         params, opt_state, loss, aux = step(params, opt_state, batch)
         # No per-step host sync (each costs a relay RTT): batch generation
         # for step i+1 overlaps device execution of step i.  Shallow forced
@@ -229,14 +233,22 @@ def main(argv=None):
     ap.add_argument("--resume", default=None,
                     help="checkpoint dir to warm-start (fine-tune) from")
     ap.add_argument("--eval-clips", type=int, default=12)
+    ap.add_argument("--real-frac", type=float, default=0.0,
+                    help="fraction of each batch drawn from the real-photo "
+                         "distillation generator (models/realgen.py)")
     args = ap.parse_args(argv)
 
     cfg = TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                       total_steps=args.steps)
     init_params = ckpt.load_params(args.resume) if args.resume else None
+    batch_fn = None
+    if args.real_frac > 0.0:
+        from .realgen import make_mixed_batch_fn
+        batch_fn = make_mixed_batch_fn(real_frac=args.real_frac)
     model, params, losses = train(cfg, args.steps, seed=args.seed,
                                   log_every=max(1, args.steps // 20),
-                                  init_params=init_params)
+                                  init_params=init_params,
+                                  batch_fn=batch_fn)
     iou_ho = evaluate_iou(params, cfg, n_clips=args.eval_clips,
                           held_out=True)
     iou_tr = evaluate_iou(params, cfg, n_clips=args.eval_clips,
