@@ -105,3 +105,31 @@ def test_real_face_detector_domain_contrast(photo, mp_detector):
     assert mp_iou >= 0.9
     assert mp_iou > lm_iou + 0.3
     assert mp_iou > ch_iou + 0.3
+
+
+def test_production_multiface_on_duo_real_photo(photo):
+    """Two half-scale copies of the real portrait on one canvas: the
+    production multi-face path (the reference's ``num_faces=2``,
+    ``rppg_LIVESTREAM.py:308``) must find both at high IoU — the real-
+    imagery counterpart of the synthetic duo fixture."""
+    import cv2
+    from vhr_tpu.models.mediapipe_face import make_mediapipe_detector_multi
+
+    s = 0.55
+    small = cv2.resize(photo, (int(photo.shape[1] * s),
+                               int(photo.shape[0] * s)),
+                       interpolation=cv2.INTER_AREA)
+    h, w = small.shape[:2]
+    canvas = np.full((400, 640, 3), 70, np.uint8)
+    (ox1, oy1), (ox2, oy2) = (30, 30), (330, 50)
+    canvas[oy1:oy1 + h, ox1:ox1 + w] = small
+    canvas[oy2:oy2 + h, ox2:ox2 + w] = small
+    box = np.asarray(realface.REAL_FACE_BOX, np.float64) * s
+    truth = np.stack([box + [ox1, oy1, ox1, oy1],
+                      box + [ox2, oy2, ox2, oy2]])
+
+    det = make_mediapipe_detector_multi(k_faces=2)
+    b, v = det(jnp.asarray(canvas[None]))
+    assert bool(np.asarray(v).all())
+    ious = _iou(np.asarray(b)[0], truth)
+    assert (ious >= 0.9).all(), ious
