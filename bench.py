@@ -590,31 +590,36 @@ def bench_mediapipe() -> dict:
     frame = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
     frames_j = jnp.asarray(np.broadcast_to(frame[None], (T, H, W, 3)).copy())
 
-    params, det_apply, lm_apply = load_face_models()
     jax.block_until_ready(frames_j)
 
-    @jax.jit
-    def reps(frames, seed):
-        def body(c, i):
-            fr = jax.lax.optimization_barrier(
-                frames + jax.lax.rem(i + seed, jnp.uint8(4)))
-            boxes, valid = _detect_single(params, det_apply, lm_apply, fr)
-            return c + jnp.sum(boxes) + jnp.sum(valid), None
-        out, _ = jax.lax.scan(body, jnp.int32(0),
-                              jnp.arange(REPS, dtype=jnp.uint8))
-        return out
+    def run_mode(compute_dtype):
+        params, det_apply, lm_apply = load_face_models(
+            compute_dtype=compute_dtype)
 
-    last = {}
+        @jax.jit
+        def reps(frames, seed):
+            def body(c, i):
+                fr = jax.lax.optimization_barrier(
+                    frames + jax.lax.rem(i + seed, jnp.uint8(4)))
+                boxes, valid = _detect_single(params, det_apply, lm_apply,
+                                              fr)
+                return c + jnp.sum(boxes) + jnp.sum(valid), None
+            out, _ = jax.lax.scan(body, jnp.int32(0),
+                                  jnp.arange(REPS, dtype=jnp.uint8))
+            return out
 
-    def call(seed):
-        last["v"] = int(reps(frames_j, seed))
-    call(jnp.uint8(0))                           # compile + warm
-    dt = _timed_median(call)
-    fps = T * REPS / dt
+        last = {}
 
-    # Semantic spot-check outside the timed loop: the face must be found.
-    boxes, valid = _detect_single(params, det_apply, lm_apply, frames_j[:1])
-    found = bool(np.asarray(valid)[0])
+        def call(seed):
+            last["v"] = int(reps(frames_j, seed))
+        call(jnp.uint8(0))                       # compile + warm
+        dt = _timed_median(call)
+        # Semantic spot-check outside the timed loop: face must be found.
+        _, valid = _detect_single(params, det_apply, lm_apply, frames_j[:1])
+        return T * REPS / dt, dt, bool(np.asarray(valid)[0])
+
+    fps, dt, found = run_mode(None)
+    fps_bf16, _, found_bf16 = run_mode(jnp.bfloat16)
 
     return {
         "metric": "mediapipe_face_pipeline_fps",
@@ -622,11 +627,16 @@ def bench_mediapipe() -> dict:
         "unit": "frames/sec/chip (720p, detect+mesh every frame)",
         "ms_per_frame": round(dt / (T * REPS) * 1e3, 3),
         "face_found": found,
+        "bf16_fps": round(fps_bf16, 1),
+        "bf16_face_found": found_bf16,
         "config": {"frames": T, "h": H, "w": W, "reps": REPS,
                    "source": "bundled real portrait resized",
                    "note": ("detection cadence 1 (every frame); pipelines "
                             "typically run detect_every>=4 with holdover, "
-                            "so end-to-end cost divides accordingly")},
+                            "so end-to-end cost divides accordingly; "
+                            "bf16_fps = compute_dtype=bfloat16 mode "
+                            "(f32-accumulate MXU, <=1px landmark RMS "
+                            "delta, tests/test_mediapipe_face.py)")},
     }
 
 

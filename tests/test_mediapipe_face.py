@@ -155,6 +155,26 @@ def test_crop_rotated_identity():
 
 # --- behavior with the production weights ----------------------------------
 
+def test_bf16_compute_mode_agrees_with_f32():
+    """compute_dtype=bf16 (the 2x-MXU mode) must reproduce the f32 result:
+    same detection box, landmarks within 1 px RMS, score within 1e-2."""
+    img = draw_face()
+    fr = jnp.asarray(img[None])
+    out = {}
+    for name, cd in (("f32", None), ("bf16", jnp.bfloat16)):
+        params, da, la = mpf.load_face_models(TASK, compute_dtype=cd)
+        rects, scores, ok = mpf.detect_faces_mp(params, da, fr, k_faces=1)
+        lm, presence = mpf.face_landmarks(params, la, fr, rects)
+        assert bool(np.asarray(ok)[0, 0]), name
+        out[name] = (np.asarray(lm)[0, 0], float(np.asarray(scores)[0, 0]),
+                     float(np.asarray(presence)[0, 0]))
+    lm_rms = float(np.sqrt(np.mean(
+        (out["f32"][0] - out["bf16"][0]) ** 2)))
+    assert lm_rms < 1.0, lm_rms
+    assert abs(out["f32"][1] - out["bf16"][1]) < 1e-2
+    assert abs(out["f32"][2] - out["bf16"][2]) < 5e-2
+
+
 def test_detects_drawn_face():
     det = mpf.make_mediapipe_detector(TASK)
     img = draw_face()

@@ -12,7 +12,7 @@ forehead ROI + BPM overlay, mirroring the reference's drawing at
 Usage::
 
     python -m vhr_tpu.apps.rppg_video VIDEO [--out-dir DIR] [--show]
-        [--faces K] [--detector skin|landmarker|refined]
+        [--faces K] [--detector skin|landmarker|refined|mediapipe[-bf16]]
     python -m vhr_tpu.apps.rppg_video --videos-dir videos   # stdin picker
 """
 
@@ -39,11 +39,14 @@ def _resolve_detector(name: str):
     if name == "refined":
         from ..models.cascade import load_default_refined_detector
         return load_default_refined_detector()
-    if name == "mediapipe":
+    if name in ("mediapipe", "mediapipe-bf16"):
+        import jax.numpy as jnp
         from ..models.mediapipe_face import make_mediapipe_detector
-        return make_mediapipe_detector()
+        cd = jnp.bfloat16 if name.endswith("bf16") else None
+        return make_mediapipe_detector(compute_dtype=cd)
     raise SystemExit(
-        f"unknown detector {name!r} (skin|landmarker|refined|mediapipe)")
+        f"unknown detector {name!r} "
+        "(skin|landmarker|refined|mediapipe|mediapipe-bf16)")
 
 
 def _resolve_detector_multi(name: str, k_faces: int):
@@ -55,9 +58,12 @@ def _resolve_detector_multi(name: str, k_faces: int):
     falling back to the chroma multiface path (ADVICE r2)."""
     if name == "skin":
         return None
-    if name == "mediapipe":
+    if name in ("mediapipe", "mediapipe-bf16"):
+        import jax.numpy as jnp
         from ..models.mediapipe_face import make_mediapipe_detector_multi
-        return make_mediapipe_detector_multi(k_faces=k_faces)
+        cd = jnp.bfloat16 if name.endswith("bf16") else None
+        return make_mediapipe_detector_multi(k_faces=k_faces,
+                                             compute_dtype=cd)
     from ..models.landmarker import load_default_detector
     from ..models.train import TrainConfig
     params = load_default_detector().args[0]
@@ -69,7 +75,8 @@ def _resolve_detector_multi(name: str, k_faces: int):
         from ..models.cascade import make_cascade_detector_multi
         return make_cascade_detector_multi(params, TrainConfig().model,
                                            k_faces=k_faces)
-    raise SystemExit(f"unknown detector {name!r} (skin|landmarker|refined)")
+    raise SystemExit(f"unknown detector {name!r} "
+                     "(skin|landmarker|refined|mediapipe|mediapipe-bf16)")
 
 
 def analyze(video_path: str, detector=None):
@@ -262,7 +269,8 @@ def main(argv=None) -> int:
                    help="analyze up to K subjects (annotated video + "
                         "per-face BPM traces)")
     p.add_argument("--detector", default="skin",
-                   choices=["skin", "landmarker", "refined", "mediapipe"],
+                   choices=["skin", "landmarker", "refined", "mediapipe",
+                            "mediapipe-bf16"],
                    help="face localization: weight-free skin chroma "
                         "(fastest), learned landmarker, or landmarker + "
                         "crop self-refinement (most accurate)")

@@ -86,20 +86,28 @@ class MediaPipeFaceParams(NamedTuple):
 _CACHE = {}
 
 
-def load_face_models(task_path: Optional[str] = None):
-    """Parse the .task zip once -> (params pytree, det apply, lm apply)."""
+def load_face_models(task_path: Optional[str] = None, compute_dtype=None):
+    """Parse the .task zip once -> (params pytree, det apply, lm apply).
+
+    ``compute_dtype=jnp.bfloat16`` runs both conv nets' MXU work in bf16
+    (f32 accumulate; see :func:`vhr_tpu.models.tflite_exec.build_jax`) —
+    ~2x conv throughput for <2 bits of stored-fp16 precision.
+    """
     task_path = task_path or default_task_path()
-    if task_path in _CACHE:
-        return _CACHE[task_path]
+    key = (task_path, np.dtype(compute_dtype).name if compute_dtype else None)
+    if key in _CACHE:
+        return _CACHE[key]
     from .tflite import load_task_models
     from .tflite_exec import build_jax
     models = load_task_models(task_path)
-    det_params, det_apply = build_jax(models["face_detector.tflite"].graph)
+    det_params, det_apply = build_jax(models["face_detector.tflite"].graph,
+                                      compute_dtype=compute_dtype)
     lm_params, lm_apply = build_jax(
-        models["face_landmarks_detector.tflite"].graph)
+        models["face_landmarks_detector.tflite"].graph,
+        compute_dtype=compute_dtype)
     params = MediaPipeFaceParams(det=det_params, lm=lm_params)
-    _CACHE[task_path] = (params, det_apply, lm_apply)
-    return _CACHE[task_path]
+    _CACHE[key] = (params, det_apply, lm_apply)
+    return _CACHE[key]
 
 
 # --- detector stage ---------------------------------------------------------
@@ -340,13 +348,14 @@ def _detect_multi(params: MediaPipeFaceParams, det_apply, lm_apply,
     return boxes, valid
 
 
-def make_mediapipe_detector(task_path: Optional[str] = None):
+def make_mediapipe_detector(task_path: Optional[str] = None,
+                            compute_dtype=None):
     """The production-weight face detector as a pipeline detector:
     ``frames (T, H, W, 3) u8 -> (boxes (T, 4), valid (T,))`` — drops into
     ``pipeline.offline.extract_signals(detector=...)`` / ``live.step``
     exactly like the learned-landmarker detector.  Boxes are landmark
     min/max, the reference's definition (analysis/utils/roi.py:43-51)."""
-    params, det_apply, lm_apply = load_face_models(task_path)
+    params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
     fn = functools.partial(_detect_single, det_apply=det_apply,
                            lm_apply=lm_apply)
     return jax.tree_util.Partial(
@@ -354,10 +363,10 @@ def make_mediapipe_detector(task_path: Optional[str] = None):
 
 
 def make_mediapipe_detector_multi(task_path: Optional[str] = None,
-                                  k_faces: int = 2):
+                                  k_faces: int = 2, compute_dtype=None):
     """Multi-face variant: ``frames -> (boxes (T, K, 4), valid (T, K))``,
     x-sorted identity — the ``extract_signals_multi`` detector interface."""
-    params, det_apply, lm_apply = load_face_models(task_path)
+    params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
     fn = functools.partial(_detect_multi, det_apply=det_apply,
                            lm_apply=lm_apply, k_faces=k_faces)
     return jax.tree_util.Partial(

@@ -72,18 +72,29 @@ def _activation(name):
     raise NotImplementedError(f"fused activation {name}")
 
 
-def build_jax(graph: Subgraph):
+def build_jax(graph: Subgraph, compute_dtype=None):
     """Compile the graph description to ``(params, apply)``.
 
     ``params`` maps tensor-index strings to constant arrays (a flat pytree —
     weights stay jit *arguments*, never baked XLA literals); ``apply(params,
     x)`` returns the tuple of graph outputs.  Shapes are static, control
     flow is straight-line: one fused XLA program per input shape.
+
+    ``compute_dtype=jnp.bfloat16`` runs conv inputs/filters in bf16 on the
+    MXU (f32 accumulate via ``preferred_element_type``) — the weights ship
+    as fp16 constants in the flatbuffer, so bf16's 8-bit mantissa costs only
+    ~2 bits of stored precision while doubling MXU throughput.  Biases,
+    PRELU and LOGISTIC stay f32; outputs are always f32.
     """
     import jax.numpy as jnp
     from jax import lax
 
     graph = fold_dequantize(graph)
+    cd = compute_dtype
+    acc = dict(preferred_element_type=jnp.float32) if cd is not None else {}
+
+    def _cd(t):
+        return t.astype(cd) if cd is not None else t
 
     # Constants that ops actually read become params; PAD paddings and
     # RESHAPE shapes stay Python-side (they must be static).
@@ -116,11 +127,11 @@ def build_jax(graph: Subgraph):
                 inp, filt, bias = (get(i) for i in op.inputs)
                 # TFLite filter is OHWI -> lax wants HWIO.
                 y = lax.conv_general_dilated(
-                    inp, jnp.transpose(filt, (1, 2, 3, 0)),
+                    _cd(inp), _cd(jnp.transpose(filt, (1, 2, 3, 0))),
                     window_strides=op.options["stride"],
                     padding=op.options["padding"],
                     rhs_dilation=op.options["dilation"],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"), **acc)
                 y = _activation(op.options["activation"])(y + bias)
             elif op.op == "DEPTHWISE_CONV_2D":
                 inp, filt, bias = (get(i) for i in op.inputs)
@@ -130,12 +141,12 @@ def build_jax(graph: Subgraph):
                 # order output channels input-channel-major, so the reshape
                 # lines up exactly.
                 y = lax.conv_general_dilated(
-                    inp, jnp.transpose(filt, (1, 2, 0, 3)),
+                    _cd(inp), _cd(jnp.transpose(filt, (1, 2, 0, 3))),
                     window_strides=op.options["stride"],
                     padding=op.options["padding"],
                     rhs_dilation=op.options["dilation"],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=ch_in)
+                    feature_group_count=ch_in, **acc)
                 y = _activation(op.options["activation"])(y + bias)
             elif op.op == "ADD":
                 y = _activation(op.options.get("activation"))(
