@@ -148,6 +148,43 @@ def test_sharded_steady_bpm_matches_unsharded(devices):
     np.testing.assert_allclose(bpm[valid], ref_bpm[valid], atol=1e-9)
 
 
+@pytest.mark.slow
+def test_multistream_mediapipe_detector_sharded(devices):
+    """The production MediaPipe detector runs data-parallel over the stream
+    mesh (weights as replicated shard_map inputs) and agrees exactly with
+    the direct single-stream call — the 'production face model at farm
+    scale' path."""
+    from tests.test_mediapipe_face import draw_face
+    from vhr_tpu.models.mediapipe_face import make_mediapipe_detector
+
+    m = vmesh.stream_mesh(devices)
+    img = draw_face(H=192, W=224, cx=112, cy=96, rx=45, ry=62)
+    rng = np.random.default_rng(5)
+    # Streams differ by per-stream photometric jitter so each shard does
+    # real, distinct work.
+    frames = np.stack([
+        np.clip(img.astype(np.int16) + rng.integers(-6, 7), 0, 255)
+        .astype(np.uint8)[None].repeat(2, axis=0) for _ in range(8)])
+    frames_j = jnp.asarray(frames)
+
+    det = make_mediapipe_detector()
+    cfg = PipelineConfig(window_seconds=8.0, acquisition_seconds=4.0)
+    sharded = vmesh.shard(frames_j, m, "stream")
+    res = streams.multistream_green_bpm(sharded, 30.0, m, cfg,
+                                        detector=det)
+    # T=2 is below acquisition so BPM validity stays False; detection
+    # success shows in the green trace (zero iff the detector missed).
+    assert not np.asarray(res.valid).any()
+    green = np.asarray(res.green)
+    assert (green > 0).all()
+    # Shard 0 must reproduce the unsharded detector bit-exactly.
+    boxes0, v0 = det(frames_j[0])
+    assert np.asarray(v0).all()
+    x1, y1, x2, y2 = np.asarray(boxes0)[0]
+    assert 60 <= x1 <= 100 and 120 <= x2 <= 165
+    assert 30 <= y1 <= 70 and 140 <= y2 <= 180
+
+
 def test_multistream_degradation_sweep_on_device(devices):
     """BASELINE config 5's full wording — concurrent streams x degradation
     sweep: each stream carries a different Gaussian-noise degradation level

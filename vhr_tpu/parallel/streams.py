@@ -33,12 +33,19 @@ class MultiStreamResult(NamedTuple):
     green: jnp.ndarray    # (streams, T)
 
 
-def _single_stream(frames, fps: float, cfg: PipelineConfig,
+def _single_stream(frames, detector, fps: float, cfg: PipelineConfig,
                    det: skin_detector.SkinDetectorConfig):
-    """Per-shard pipeline body: (S_local, T, H, W, 3) -> per-frame BPM."""
+    """Per-shard pipeline body: (S_local, T, H, W, 3) -> per-frame BPM.
+
+    ``detector`` is an optional pipeline detector callable (``frames ->
+    (boxes, valid)``, e.g. the production MediaPipe port) whose weights ride
+    the shard_map as replicated inputs; ``None`` selects skin chroma."""
     def one(fr):
         T, H, W, _ = fr.shape
-        boxes, valid = skin_detector.detect_faces(fr, det)
+        if detector is not None:
+            boxes, valid = detector(fr)
+        else:
+            boxes, valid = skin_detector.detect_faces(fr, det)
         track = vroi.holdover(boxes, valid, cfg.roi.landmark_hold_frames)
         rois = vroi.cheek_roi(track.box, cfg.roi, W, H)
         rois = jnp.where(track.valid[:, None], rois, 0)
@@ -96,7 +103,8 @@ def multistream_green_bpm(frames: jnp.ndarray, fps: float,
                           det: skin_detector.SkinDetectorConfig = None,
                           use_fused: bool = False,
                           detect_row_pool: int = 1,
-                          gate_margin=None) -> MultiStreamResult:
+                          gate_margin=None,
+                          detector=None) -> MultiStreamResult:
     """Run the green-channel pipeline for ``(streams, T, H, W, 3)`` frames
     sharded over the mesh's ``stream`` axis.
 
@@ -110,21 +118,39 @@ def multistream_green_bpm(frames: jnp.ndarray, fps: float,
     ``seq_len``); ``detect_row_pool`` / ``gate_margin`` are its resolution
     and gating knobs (``vhr_tpu.ops.pallas_fused``).  Requires
     ``H % 8 == 0`` and ``W*3 % 128 == 0``.
+
+    ``detector`` swaps the per-stream face stage for any pipeline detector
+    callable (e.g. :func:`vhr_tpu.models.mediapipe_face
+    .make_mediapipe_detector` — the production weights then run
+    data-parallel across the mesh, weights replicated per chip).
     """
     det = det or skin_detector.SkinDetectorConfig()
+    spec = P("stream")
     if use_fused:
+        if detector is not None:
+            raise ValueError("use_fused=True embeds its own detection; "
+                             "pass detector=None")
         fn = functools.partial(
             _single_stream_fused, fps=fps, cfg=cfg, det=det,
             detect_row_pool=detect_row_pool, gate_margin=gate_margin,
             interpret=jax.default_backend() != "tpu")
+        mapped = shard_map(
+            fn, mesh=mesh,
+            in_specs=(spec,),
+            out_specs=(spec, spec, spec),
+            check_vma=False,
+        )
+        bpm, valid, green = mapped(frames)
     else:
         fn = functools.partial(_single_stream, fps=fps, cfg=cfg, det=det)
-    spec = P("stream")
-    mapped = shard_map(
-        fn, mesh=mesh,
-        in_specs=(spec,),
-        out_specs=(spec, spec, spec),
-        check_vma=False,
-    )
-    bpm, valid, green = mapped(frames)
+        # detector weights (a Partial pytree, e.g. the MediaPipe port)
+        # enter as replicated shard_map inputs — traced arguments, never
+        # baked XLA literals.
+        mapped = shard_map(
+            fn, mesh=mesh,
+            in_specs=(spec, P()),
+            out_specs=(spec, spec, spec),
+            check_vma=False,
+        )
+        bpm, valid, green = mapped(frames, detector)
     return MultiStreamResult(bpm=bpm, valid=valid, green=green)
