@@ -154,8 +154,8 @@ def main(argv=None) -> int:
                         "requests num_faces=2 but only processes face 0; "
                         "here every slot gets a full live chain)")
     p.add_argument("--detector", default="skin",
-                   choices=["skin", "landmarker", "refined", "mediapipe",
-                            "mediapipe-bf16"],
+                   choices=["skin", "landmarker", "landmarker-real",
+                            "refined", "mediapipe", "mediapipe-bf16"],
                    help="single-face localization model (the reference's "
                         "live mode is MediaPipe, rppg_LIVESTREAM.py:336); "
                         "--faces >1 uses its own multi-face detectors")

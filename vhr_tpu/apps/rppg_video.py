@@ -36,6 +36,9 @@ def _resolve_detector(name: str):
     if name == "landmarker":
         from ..models.landmarker import load_default_detector
         return load_default_detector()
+    if name == "landmarker-real":
+        from ..models.landmarker import load_real_distilled_detector
+        return load_real_distilled_detector()
     if name == "refined":
         from ..models.cascade import load_default_refined_detector
         return load_default_refined_detector()
@@ -64,10 +67,13 @@ def _resolve_detector_multi(name: str, k_faces: int):
         cd = jnp.bfloat16 if name.endswith("bf16") else None
         return make_mediapipe_detector_multi(k_faces=k_faces,
                                              compute_dtype=cd)
-    from ..models.landmarker import load_default_detector
+    from ..models.landmarker import (load_default_detector,
+                                     load_real_distilled_detector)
     from ..models.train import TrainConfig
-    params = load_default_detector().args[0]
-    if name == "landmarker":
+    loader = (load_real_distilled_detector if name.endswith("-real")
+              else load_default_detector)
+    params = loader().args[0]
+    if name in ("landmarker", "landmarker-real"):
         from ..models.cascade import make_tiled_detector_multi
         return make_tiled_detector_multi(params, TrainConfig().model,
                                          k_faces=k_faces)
@@ -269,8 +275,8 @@ def main(argv=None) -> int:
                    help="analyze up to K subjects (annotated video + "
                         "per-face BPM traces)")
     p.add_argument("--detector", default="skin",
-                   choices=["skin", "landmarker", "refined", "mediapipe",
-                            "mediapipe-bf16"],
+                   choices=["skin", "landmarker", "landmarker-real",
+                            "refined", "mediapipe", "mediapipe-bf16"],
                    help="face localization: weight-free skin chroma "
                         "(fastest), learned landmarker, or landmarker + "
                         "crop self-refinement (most accurate)")

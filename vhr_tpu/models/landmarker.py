@@ -26,7 +26,7 @@ import numpy as np
 
 __all__ = ["LandmarkerConfig", "FaceLandmarker", "preprocess_frames",
            "landmarks_to_bbox_valid", "make_detector", "make_roi_detector",
-           "load_default_detector"]
+           "load_default_detector", "load_real_distilled_detector"]
 
 
 @dataclasses.dataclass(frozen=True, unsafe_hash=True)
@@ -188,3 +188,21 @@ def load_default_detector(path: str = None, threshold: float = 0.0):
                       )["params"]
     params = ckpt.load_params(path, like=like)
     return make_detector(params, cfg, threshold)
+
+
+def load_real_distilled_detector(threshold: float = 0.0):
+    """The real-photo-distilled variant of the learned landmarker.
+
+    Fine-tuned from the default checkpoint on a teacher-labeled augmented
+    stream of the bundled real portrait (``models/realgen.py``; teacher =
+    the ported production MediaPipe model).  Measured tradeoff
+    (``docs/DETECTION.md``): real-photo IoU 0.83 (default weights: 0.20)
+    at the cost of the flat-tone duo fixture (0.80/0.77 vs 0.87/0.90) —
+    pick this variant for real imagery, the default for the synthetic
+    fixture domain.
+    """
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "checkpoints", "landmarker_distill")
+    return load_default_detector(path, threshold)
