@@ -153,6 +153,52 @@ def test_crop_rotated_identity():
     np.testing.assert_allclose(got, expect, atol=1.0)
 
 
+def test_crop_rotated_packed_bitexact_vs_ref():
+    """The packed-tap fast crop (one (1,1,12) gather per output pixel) must
+    be BIT-exact vs the direct 4-gather formulation, including rects that
+    spill over every frame edge and hit the x1/y1 clamp columns."""
+    rng = np.random.default_rng(7)
+    H, W = 97, 133
+    img = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    cases = [
+        (60.0, 50.0, 40.0, 0.0),        # interior, axis-aligned
+        (60.0, 50.0, 40.0, 0.37),       # interior, rotated
+        (60.0, 50.0, 40.0, -1.2),       # big negative rotation
+        (2.0, 3.0, 50.0, 0.5),          # spills top-left
+        (131.0, 95.0, 60.0, -0.4),      # spills bottom-right
+        (66.0, 48.0, 400.0, 0.25),      # rect far larger than the frame
+        (-20.0, -10.0, 30.0, 0.1),      # fully outside (all taps clamped)
+    ]
+    for cx, cy, side, rot in cases:
+        rect = mpf._Rect(cx=jnp.float32(cx), cy=jnp.float32(cy),
+                         side=jnp.float32(side), rot=jnp.float32(rot))
+        fast = np.asarray(mpf._crop_rotated(img, rect, 48))
+        ref = np.asarray(mpf._crop_rotated_ref(img, rect, 48))
+        np.testing.assert_array_equal(fast, ref, err_msg=str((cx, cy, side,
+                                                              rot)))
+
+
+def test_crop_faces_blocked_matches_direct():
+    """_crop_faces with T > _CROP_BLOCK (padded lax.map path) must equal
+    the per-frame direct path."""
+    rng = np.random.default_rng(3)
+    T, H, W, K = mpf._CROP_BLOCK + 5, 40, 52, 2
+    frames = jnp.asarray(rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8))
+    rect = mpf._Rect(
+        cx=jnp.asarray(rng.uniform(5, W - 5, (T, K)), jnp.float32),
+        cy=jnp.asarray(rng.uniform(5, H - 5, (T, K)), jnp.float32),
+        side=jnp.asarray(rng.uniform(10, 40, (T, K)), jnp.float32),
+        rot=jnp.asarray(rng.uniform(-0.6, 0.6, (T, K)), jnp.float32))
+    blocked = np.asarray(mpf._crop_faces(frames, rect, 16))
+    direct = np.asarray(jax.vmap(lambda f, rk: jax.vmap(
+        lambda r: mpf._crop_rotated(f, r, 16))(rk))(frames, rect))
+    # Tolerance covers FMA-contraction jitter between the lax.map and
+    # plain-vmap compile contexts (ULP-level in the sample-grid floats,
+    # amplified through the tap weights); an indexing/ordering bug would
+    # show O(0.1) errors.
+    np.testing.assert_allclose(blocked, direct, atol=1e-5, rtol=0)
+
+
 # --- behavior with the production weights ----------------------------------
 
 def test_bf16_compute_mode_agrees_with_f32():
