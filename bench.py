@@ -83,7 +83,9 @@ def bench_flagship() -> dict:
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         T, H, W = 960, 1080, 1920       # 32 s @ 30 fps -> full 30 s window
-        REPS = 8
+        # 30k frames per timed call: the relay's ~47 ms fixed per-call
+        # latency (measured, bench NOTES) amortizes to <2 us/frame.
+        REPS = 32
         cfg = PipelineConfig()           # 30 s window / 10 s acquisition
     else:
         T, H, W = 90, 96, 128
@@ -282,7 +284,7 @@ def bench_multistream() -> dict:
     if on_tpu:
         S, T, H, W = 64, 32, 720, 1280
         det = SkinDetectorConfig(downsample=4)   # documented many-stream mode
-        REPS = 4
+        REPS = 16    # 33k frames/call: relay call floor (~47 ms) < 2%
     else:
         S, T, H, W = 4, 16, 48, 64
         det = SkinDetectorConfig()
@@ -488,7 +490,7 @@ def bench_kernels() -> dict:
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         T, H, W = 256, 1080, 1920
-        REPS = 8
+        REPS = 64    # 16k frames/call: relay call floor (~47 ms) < 3 us/frame
     else:
         T, H, W = 16, 96, 128
         REPS = 2
@@ -578,7 +580,7 @@ def bench_mediapipe() -> dict:
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         T, H, W = 64, 720, 1280
-        REPS = 4
+        REPS = 48    # 3k frames/call: relay call floor (~47 ms) ~ 15 us/frame
     else:
         T, H, W = 2, 180, 320
         REPS = 2
