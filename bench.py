@@ -594,7 +594,7 @@ def bench_mediapipe() -> dict:
 
     jax.block_until_ready(frames_j)
 
-    def run_mode(compute_dtype):
+    def run_mode(compute_dtype, crop_mode="axis"):
         params, det_apply, lm_apply = load_face_models(
             compute_dtype=compute_dtype)
 
@@ -604,7 +604,7 @@ def bench_mediapipe() -> dict:
                 fr = jax.lax.optimization_barrier(
                     frames + jax.lax.rem(i + seed, jnp.uint8(4)))
                 boxes, valid = _detect_single(params, det_apply, lm_apply,
-                                              fr)
+                                              fr, crop_mode=crop_mode)
                 return c + jnp.sum(boxes) + jnp.sum(valid), None
             out, _ = jax.lax.scan(body, jnp.int32(0),
                                   jnp.arange(REPS, dtype=jnp.uint8))
@@ -617,10 +617,12 @@ def bench_mediapipe() -> dict:
         call(jnp.uint8(0))                       # compile + warm
         dt = _timed_median(call)
         # Semantic spot-check outside the timed loop: face must be found.
-        _, valid = _detect_single(params, det_apply, lm_apply, frames_j[:1])
+        _, valid = _detect_single(params, det_apply, lm_apply, frames_j[:1],
+                                  crop_mode=crop_mode)
         return T * REPS / dt, dt, bool(np.asarray(valid)[0])
 
     fps, dt, found = run_mode(None)
+    fps_exact, _, found_exact = run_mode(None, crop_mode="exact")
     fps_bf16, _, found_bf16 = run_mode(jnp.bfloat16)
 
     return {
@@ -629,6 +631,8 @@ def bench_mediapipe() -> dict:
         "unit": "frames/sec/chip (720p, detect+mesh every frame)",
         "ms_per_frame": round(dt / (T * REPS) * 1e3, 3),
         "face_found": found,
+        "exact_crop_fps": round(fps_exact, 1),
+        "exact_crop_face_found": found_exact,
         "bf16_fps": round(fps_bf16, 1),
         "bf16_face_found": found_bf16,
         "config": {"frames": T, "h": H, "w": W, "reps": REPS,
@@ -636,8 +640,12 @@ def bench_mediapipe() -> dict:
                    "note": ("detection cadence 1 (every frame); pipelines "
                             "typically run detect_every>=4 with holdover, "
                             "so end-to-end cost divides accordingly; "
-                            "bf16_fps = compute_dtype=bfloat16 mode "
-                            "(f32-accumulate MXU, <=1px landmark RMS "
+                            "value = crop_mode='axis' (separable MXU crop, "
+                            "the product default; <1px landmark delta at "
+                            "10deg roll, tests/test_realface.py); "
+                            "exact_crop_fps = MediaPipe-exact rotated "
+                            "sampling; bf16_fps = compute_dtype=bfloat16 "
+                            "mode (f32-accumulate MXU, <=1px landmark RMS "
                             "delta, tests/test_mediapipe_face.py)")},
     }
 

@@ -199,6 +199,46 @@ def test_crop_faces_blocked_matches_direct():
     np.testing.assert_allclose(blocked, direct, atol=1e-5, rtol=0)
 
 
+def test_crop_axis_mxu_matches_ref_rot0():
+    """The separable MXU crop must reproduce the direct bilinear reference
+    at rot=0 within ~1 u8 LSB (bf16-rounded interp weights), including
+    edge-spilling rects that exercise the clamp columns."""
+    rng = np.random.default_rng(11)
+    H, W = 97, 133
+    img = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    cases = [
+        (60.0, 50.0, 40.0),             # interior
+        (2.0, 3.0, 50.0),               # spills top-left
+        (131.0, 95.0, 60.0),            # spills bottom-right
+        (66.0, 48.0, 400.0),            # rect far larger than the frame
+        (-20.0, -10.0, 30.0),           # fully outside (all taps clamped)
+    ]
+    for cx, cy, side in cases:
+        rect = mpf._Rect(cx=jnp.float32(cx), cy=jnp.float32(cy),
+                         side=jnp.float32(side), rot=jnp.float32(0.0))
+        fast = np.asarray(mpf._crop_axis_mxu(img, rect, 48))
+        ref = np.asarray(mpf._crop_rotated_ref(img, rect, 48))
+        np.testing.assert_allclose(fast, ref, atol=2.0 / 255.0, rtol=0,
+                                   err_msg=str((cx, cy, side)))
+
+
+def test_crop_faces_axis_blocked_matches_direct():
+    """_crop_faces(mode="axis") with T > _CROP_BLOCK must equal the
+    per-frame direct MXU crop."""
+    rng = np.random.default_rng(5)
+    T, H, W, K = mpf._CROP_BLOCK + 3, 40, 52, 2
+    frames = jnp.asarray(rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8))
+    rect = mpf._Rect(
+        cx=jnp.asarray(rng.uniform(5, W - 5, (T, K)), jnp.float32),
+        cy=jnp.asarray(rng.uniform(5, H - 5, (T, K)), jnp.float32),
+        side=jnp.asarray(rng.uniform(10, 40, (T, K)), jnp.float32),
+        rot=jnp.zeros((T, K), jnp.float32))
+    blocked = np.asarray(mpf._crop_faces(frames, rect, 16, mode="axis"))
+    direct = np.asarray(jax.vmap(lambda f, rk: jax.vmap(
+        lambda r: mpf._crop_axis_mxu(f, r, 16))(rk))(frames, rect))
+    np.testing.assert_allclose(blocked, direct, atol=1e-5, rtol=0)
+
+
 # --- behavior with the production weights ----------------------------------
 
 def test_bf16_compute_mode_agrees_with_f32():

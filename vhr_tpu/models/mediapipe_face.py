@@ -315,6 +315,49 @@ def _crop_rotated_ref(frame_bgr_u8: jnp.ndarray, rect: _Rect, size: int):
     return out / 255.0
 
 
+def _interp_matrix(coords: jnp.ndarray, n_src: int) -> jnp.ndarray:
+    """(n_out,) f32 sample coordinates -> (n_out, n_src) bilinear
+    interpolation matrix with ``_crop_rotated_ref``'s edge-clamp
+    semantics (clip the floor tap into range, second tap = clip(+1))."""
+    x0 = jnp.floor(coords)
+    f = coords - x0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, n_src - 1)
+    x1i = jnp.clip(x0i + 1, 0, n_src - 1)
+    src = jnp.arange(n_src, dtype=jnp.int32)[None, :]
+    return ((1.0 - f)[:, None] * (src == x0i[:, None])
+            + f[:, None] * (src == x1i[:, None]))
+
+
+def _crop_axis_mxu(frame_bgr_u8: jnp.ndarray, rect: _Rect, size: int):
+    """Axis-aligned bilinear crop as two MXU matmuls (rect.rot ignored) ->
+    (size, size, 3) RGB [0, 1].
+
+    The rotated-crop gather costs ~13 ns per output position on TPU no
+    matter how it is formulated (measured: sorted/flat/small-source/wide
+    -slice variants all within 2x) — 0.8-1.3 ms per 256x256 crop.  An
+    axis-aligned crop is separable, so it runs as two dense interp-matrix
+    products on the MXU instead: ~25x faster.  Fidelity: the mesh net
+    tolerates in-crop roll (measured on the real-portrait corpus: mean
+    landmark deviation vs the exact rotated crop is <1 px up to 10 deg,
+    2.2 px at 20 deg, landmark-bbox IoU >=0.98 through 20 deg), so
+    ``crop_mode="axis"`` is the product path and ``"exact"`` keeps the
+    gather for MediaPipe-exact sampling at large rolls.
+
+    Matmuls run at DEFAULT (bf16-input) precision: u8 pixel values are
+    exact in bf16 and the interp weights round to 2^-9, bounding the
+    output error at ~1 u8 LSB — pinned by the tolerance test vs
+    ``_crop_rotated_ref(rot=0)``.
+    """
+    H, W, _ = frame_bgr_u8.shape
+    u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size - 0.5
+    gx = _interp_matrix(rect.cx + u * rect.side, W)      # (size, W)
+    gy = _interp_matrix(rect.cy + u * rect.side, H)      # (size, H)
+    img = frame_bgr_u8[..., ::-1].astype(jnp.float32)
+    tmp = jnp.einsum("hwc,mw->hmc", img, gx)             # x-pass (H, size, 3)
+    out = jnp.einsum("nh,hmc->nmc", gy, tmp)             # y-pass
+    return out / 255.0
+
+
 def _project_landmarks(lm_crop: jnp.ndarray, rect: _Rect) -> jnp.ndarray:
     """Crop-pixel landmarks (478, 3) -> image-pixel (x, y) (478, 2)."""
     u = lm_crop[..., 0] / _LM_SIZE - 0.5
@@ -346,20 +389,29 @@ _CROP_BLOCK = 16      # frames per packed-tap block: bounds the (blk, H-1,
 #                       W-1, 12) f32 intermediate to ~0.7 GB at 1080p
 
 
-def _crop_faces(frames: jnp.ndarray, rects: _Rect, size: int):
+def _crop_faces(frames: jnp.ndarray, rects: _Rect, size: int,
+                mode: str = "exact"):
     """(T, H, W, 3) BGR u8 + rects with (T, K) fields -> (T, K, size,
-    size, 3) RGB [0, 1] crops, sharing one packed-tap array per frame
-    across the K faces and blocking over T to bound the pack memory."""
+    size, 3) RGB [0, 1] crops, blocking over T to bound intermediate
+    memory.  ``mode="exact"``: rotated bilinear sampling via the packed
+    -tap gather (one packed array per frame shared across the K faces).
+    ``mode="axis"``: axis-aligned separable MXU crop (``_crop_axis_mxu``;
+    rect.rot must already be zeroed by the caller so projection agrees)."""
     T, H, W, _ = frames.shape
     K = rects.cx.shape[-1]
 
     def crop_block(args):
         fr, rk = args
 
-        def crop_one(frame, rect_k):
-            packed = _pack_taps(frame[..., ::-1].astype(jnp.float32))
-            return jax.vmap(lambda r: _crop_rotated_from_taps(
-                packed, H, W, r, size))(rect_k)
+        if mode == "axis":
+            def crop_one(frame, rect_k):
+                return jax.vmap(lambda r: _crop_axis_mxu(
+                    frame, r, size))(rect_k)
+        else:
+            def crop_one(frame, rect_k):
+                packed = _pack_taps(frame[..., ::-1].astype(jnp.float32))
+                return jax.vmap(lambda r: _crop_rotated_from_taps(
+                    packed, H, W, r, size))(rect_k)
 
         return jax.vmap(crop_one)(fr, rk)
 
@@ -377,12 +429,20 @@ def _crop_faces(frames: jnp.ndarray, rects: _Rect, size: int):
     return out.reshape(nb * _CROP_BLOCK, K, size, size, 3)[:T]
 
 
-def face_landmarks(params: MediaPipeFaceParams, lm_apply, frames, rects):
+def face_landmarks(params: MediaPipeFaceParams, lm_apply, frames, rects,
+                   crop_mode: str = "axis"):
     """Face-mesh over per-frame rects: -> (landmarks_px (T, K, 478, 2),
-    presence (T, K))."""
+    presence (T, K)).  ``crop_mode="axis"`` (product default) feeds the
+    mesh an unrotated crop — the ROI rotation is dropped consistently
+    from both sampling and re-projection, trading <1 px landmark
+    deviation at typical rolls (see ``_crop_axis_mxu``) for ~4x pipeline
+    throughput; ``"exact"`` keeps MediaPipe's rotated sampling."""
+    if crop_mode == "axis":
+        rects = rects._replace(rot=jnp.zeros_like(rects.rot))
     T = frames.shape[0]
     K = rects.cx.shape[-1]
-    crops = _crop_faces(frames, rects, _LM_SIZE)         # (T, K, 256, 256, 3)
+    crops = _crop_faces(frames, rects, _LM_SIZE,
+                        mode=crop_mode)                  # (T, K, 256, 256, 3)
     flat = crops.reshape(T * K, _LM_SIZE, _LM_SIZE, 3)
     out = jax.vmap(lambda xi: lm_apply(params.lm, xi[None]))(flat)
     lm = out[0].reshape(T, K, 478, 3)
@@ -403,10 +463,11 @@ def _landmarks_to_bbox(lm_px: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 
 
 def _detect_single(params: MediaPipeFaceParams, det_apply, lm_apply,
-                   frames: jnp.ndarray):
+                   frames: jnp.ndarray, crop_mode: str = "axis"):
     T, H, W, _ = frames.shape
     rects, _, det_ok = detect_faces_mp(params, det_apply, frames, k_faces=1)
-    lm_px, presence = face_landmarks(params, lm_apply, frames, rects)
+    lm_px, presence = face_landmarks(params, lm_apply, frames, rects,
+                                     crop_mode=crop_mode)
     boxes = _landmarks_to_bbox(lm_px[:, 0], H, W)
     valid = jnp.logical_and(det_ok[:, 0], presence[:, 0] >= _MIN_PRESENCE)
     boxes = jnp.where(valid[:, None], boxes, 0)
@@ -414,11 +475,13 @@ def _detect_single(params: MediaPipeFaceParams, det_apply, lm_apply,
 
 
 def _detect_multi(params: MediaPipeFaceParams, det_apply, lm_apply,
-                  k_faces: int, frames: jnp.ndarray):
+                  k_faces: int, frames: jnp.ndarray,
+                  crop_mode: str = "axis"):
     T, H, W, _ = frames.shape
     rects, _, det_ok = detect_faces_mp(params, det_apply, frames,
                                        k_faces=k_faces)
-    lm_px, presence = face_landmarks(params, lm_apply, frames, rects)
+    lm_px, presence = face_landmarks(params, lm_apply, frames, rects,
+                                     crop_mode=crop_mode)
     boxes = _landmarks_to_bbox(lm_px, H, W)              # (T, K, 4)
     valid = jnp.logical_and(det_ok, presence >= _MIN_PRESENCE)
     # Stable x-order identity, matching multiface.detect_faces_multi.
@@ -431,25 +494,29 @@ def _detect_multi(params: MediaPipeFaceParams, det_apply, lm_apply,
 
 
 def make_mediapipe_detector(task_path: Optional[str] = None,
-                            compute_dtype=None):
+                            compute_dtype=None, crop_mode: str = "axis"):
     """The production-weight face detector as a pipeline detector:
     ``frames (T, H, W, 3) u8 -> (boxes (T, 4), valid (T,))`` — drops into
     ``pipeline.offline.extract_signals(detector=...)`` / ``live.step``
     exactly like the learned-landmarker detector.  Boxes are landmark
-    min/max, the reference's definition (analysis/utils/roi.py:43-51)."""
+    min/max, the reference's definition (analysis/utils/roi.py:43-51).
+    ``crop_mode``: "axis" (MXU separable crop, ~4x faster pipeline) or
+    "exact" (MediaPipe's rotated bilinear sampling)."""
     params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
     fn = functools.partial(_detect_single, det_apply=det_apply,
-                           lm_apply=lm_apply)
+                           lm_apply=lm_apply, crop_mode=crop_mode)
     return jax.tree_util.Partial(
         lambda p, frames: fn(p, frames=frames), params)
 
 
 def make_mediapipe_detector_multi(task_path: Optional[str] = None,
-                                  k_faces: int = 2, compute_dtype=None):
+                                  k_faces: int = 2, compute_dtype=None,
+                                  crop_mode: str = "axis"):
     """Multi-face variant: ``frames -> (boxes (T, K, 4), valid (T, K))``,
     x-sorted identity — the ``extract_signals_multi`` detector interface."""
     params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
     fn = functools.partial(_detect_multi, det_apply=det_apply,
-                           lm_apply=lm_apply, k_faces=k_faces)
+                           lm_apply=lm_apply, k_faces=k_faces,
+                           crop_mode=crop_mode)
     return jax.tree_util.Partial(
         lambda p, frames: fn(p, frames=frames), params)
