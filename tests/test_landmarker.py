@@ -160,3 +160,49 @@ def test_roi_detector_pose_robust_pipeline():
     assert (rois[:, 2] <= truth[:, 2] + pad).all()
     assert (rois[:, 3] <= truth[:, 3] + pad).all()
     assert (rois[:, 2] > rois[:, 0]).all() and (rois[:, 3] > rois[:, 1]).all()
+
+
+def test_crop_boxes_bilinear_matches_gather_reference():
+    """The separable-MXU crop (models/cascade.py crop_boxes_bilinear) must
+    reproduce the bilinear-gather semantics it replaced: coords clamped to
+    the frame, floor tap clipped to n-2 (edge rows/columns repeat), for
+    interior, edge-spilling, and degenerate boxes."""
+    from vhr_tpu.models.cascade import crop_boxes_bilinear
+
+    rng = np.random.default_rng(3)
+    H, W, S = 71, 103, 24
+    frames = rng.integers(0, 256, (5, H, W, 3), dtype=np.uint8)
+    boxes = np.array([
+        [20, 15, 60, 55],        # interior
+        [-10, -8, 30, 25],       # spills top-left
+        [80, 50, 140, 100],      # spills bottom-right
+        [40, 30, 42, 31],        # degenerate (min side clamp)
+        [0, 0, W, H],            # whole frame
+    ], np.int32)
+    crops, origins = crop_boxes_bilinear(
+        jnp.asarray(frames), jnp.asarray(boxes), S, pad=0.3)
+
+    # numpy oracle of the original gather form
+    b = boxes.astype(np.float64)
+    cx, cy = (b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2
+    half = np.maximum(np.maximum(b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]),
+                      2.0) * 0.5 * 1.6
+    u = np.arange(S) / (S - 1)
+    for t in range(5):
+        xs = np.clip(cx[t] - half[t] + u * 2 * half[t], 0, W - 1)
+        ys = np.clip(cy[t] - half[t] + u * 2 * half[t], 0, H - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, W - 2)
+        y0 = np.clip(np.floor(ys).astype(int), 0, H - 2)
+        fx, fy = xs - x0, ys - y0
+        img = frames[t].astype(np.float64)
+        g = (img[y0][:, x0] * (1 - fx)[None, :, None] * (1 - fy)[:, None, None]
+             + img[y0][:, x0 + 1] * fx[None, :, None] * (1 - fy)[:, None, None]
+             + img[y0 + 1][:, x0] * (1 - fx)[None, :, None] * fy[:, None, None]
+             + img[y0 + 1][:, x0 + 1] * fx[None, :, None] * fy[:, None, None])
+        want = g[..., ::-1] / 255.0
+        np.testing.assert_allclose(np.asarray(crops)[t], want,
+                                   atol=2.0 / 255.0, rtol=0, err_msg=str(t))
+        np.testing.assert_allclose(
+            np.asarray(origins)[t],
+            [cx[t] - half[t], cy[t] - half[t], 2 * half[t], 2 * half[t]],
+            atol=1e-3)

@@ -19,9 +19,12 @@ held-out hard generator (see tests):
   with presence veto, cross-slot dedupe.  Survives the skin-background
   matrix row that defeats the chroma proposal stage (docs/DETECTION.md).
 
-All crops are fixed-size bilinear gathers (static shapes, vmappable over
-time and faces); weights ride as `jax.tree_util.Partial` args (traced, not
-baked literals).
+All crops are fixed-size separable bilinear resamples run as two dense
+interp-matrix MXU products (static shapes, vmappable over time and faces;
+TPU gathers cost ~13 ns/position regardless of formulation, so the matmul
+form is ~25x faster at crop sizes — see ``mediapipe_face._crop_axis_mxu``
+for the measurement); weights ride as `jax.tree_util.Partial` args
+(traced, not baked literals).
 """
 
 from __future__ import annotations
@@ -67,22 +70,28 @@ def crop_boxes_bilinear(frames: jnp.ndarray, boxes: jnp.ndarray,
     xs = x0[:, None] + u[None, :] * side[:, None]             # (T, S)
     ys = y0[:, None] + u[None, :] * side[:, None]
 
+    def interp_mat(coords, n):
+        """(S,) sample coords -> (S, n) bilinear matrix: coords clamped to
+        [0, n-1], floor tap clipped to n-2 — the edge-clamp semantics of
+        the gather form this replaced (values outside the frame repeat the
+        edge row/column)."""
+        cc = jnp.clip(coords, 0.0, n - 1.0)
+        i0 = jnp.clip(jnp.floor(cc).astype(jnp.int32), 0, n - 2)
+        f = cc - i0.astype(jnp.float32)
+        src = jnp.arange(n, dtype=jnp.int32)[None, :]
+        return ((1.0 - f)[:, None] * (src == i0[:, None])
+                + f[:, None] * (src == (i0 + 1)[:, None]))
+
     def sample_one(img, xr, yr):
-        """Bilinear gather of one frame at the (S, S) grid."""
-        xc = jnp.clip(xr, 0.0, W - 1.0)
-        yc = jnp.clip(yr, 0.0, H - 1.0)
-        x0i = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, W - 2)
-        y0i = jnp.clip(jnp.floor(yc).astype(jnp.int32), 0, H - 2)
-        fx = (xc - x0i.astype(jnp.float32))[None, :, None]    # (1, S, 1)
-        fy = (yc - y0i.astype(jnp.float32))[:, None, None]    # (S, 1, 1)
+        """Separable bilinear resample of one frame at the (S, S) grid:
+        an x-pass and a y-pass dense matmul on the MXU (bf16 inputs with
+        f32 accumulation bound the error at ~1 u8 LSB: pixel values are
+        exact in bf16, interp weights round to 2^-9)."""
+        gx = interp_mat(xr, W)                                # (S, W)
+        gy = interp_mat(yr, H)                                # (S, H)
         imgf = img.astype(jnp.float32)
-        g00 = imgf[y0i][:, x0i]                               # (S, S, 3)
-        g01 = imgf[y0i][:, x0i + 1]
-        g10 = imgf[y0i + 1][:, x0i]
-        g11 = imgf[y0i + 1][:, x0i + 1]
-        top = g00 * (1 - fx) + g01 * fx
-        bot = g10 * (1 - fx) + g11 * fx
-        return top * (1 - fy) + bot * fy
+        tmp = jnp.einsum("hwc,sw->hsc", imgf, gx)             # (H, S, 3)
+        return jnp.einsum("th,hsc->tsc", gy, tmp)             # (S, S, 3)
 
     crops = jax.vmap(sample_one)(frames, xs, ys)              # (T, S, S, 3)
     crops = crops[..., ::-1] / 255.0                          # BGR -> RGB
