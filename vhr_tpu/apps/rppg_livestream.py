@@ -10,7 +10,7 @@ Usage::
 
     python -m vhr_tpu.apps.rppg_livestream [--camera 0] [--video FILE]
         [--max-frames N] [--no-display] [--fused] [--faces K]
-        [--detector skin|landmarker|refined]
+        [--detector skin|landmarker|refined|mediapipe[-bf16|-exact]]
 
 ``--video`` replays a file as if it were a camera (useful headless);
 ``--no-display`` prints the BPM trace instead of opening windows;
@@ -155,7 +155,8 @@ def main(argv=None) -> int:
                         "here every slot gets a full live chain)")
     p.add_argument("--detector", default="skin",
                    choices=["skin", "landmarker", "landmarker-real",
-                            "refined", "mediapipe", "mediapipe-bf16"],
+                            "refined", "mediapipe", "mediapipe-bf16",
+                            "mediapipe-exact"],
                    help="single-face localization model (the reference's "
                         "live mode is MediaPipe, rppg_LIVESTREAM.py:336); "
                         "--faces >1 uses its own multi-face detectors")

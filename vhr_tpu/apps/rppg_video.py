@@ -12,7 +12,7 @@ forehead ROI + BPM overlay, mirroring the reference's drawing at
 Usage::
 
     python -m vhr_tpu.apps.rppg_video VIDEO [--out-dir DIR] [--show]
-        [--faces K] [--detector skin|landmarker|refined|mediapipe[-bf16]]
+        [--faces K] [--detector skin|landmarker|refined|mediapipe[-bf16|-exact]]
     python -m vhr_tpu.apps.rppg_video --videos-dir videos   # stdin picker
 """
 
@@ -42,14 +42,15 @@ def _resolve_detector(name: str):
     if name == "refined":
         from ..models.cascade import load_default_refined_detector
         return load_default_refined_detector()
-    if name in ("mediapipe", "mediapipe-bf16"):
+    if name in ("mediapipe", "mediapipe-bf16", "mediapipe-exact"):
         import jax.numpy as jnp
         from ..models.mediapipe_face import make_mediapipe_detector
         cd = jnp.bfloat16 if name.endswith("bf16") else None
-        return make_mediapipe_detector(compute_dtype=cd)
+        cm = "exact" if name.endswith("exact") else "axis"
+        return make_mediapipe_detector(compute_dtype=cd, crop_mode=cm)
     raise SystemExit(
         f"unknown detector {name!r} "
-        "(skin|landmarker|refined|mediapipe|mediapipe-bf16)")
+        "(skin|landmarker|refined|mediapipe|mediapipe-bf16|mediapipe-exact)")
 
 
 def _resolve_detector_multi(name: str, k_faces: int):
@@ -61,12 +62,14 @@ def _resolve_detector_multi(name: str, k_faces: int):
     falling back to the chroma multiface path (ADVICE r2)."""
     if name == "skin":
         return None
-    if name in ("mediapipe", "mediapipe-bf16"):
+    if name in ("mediapipe", "mediapipe-bf16", "mediapipe-exact"):
         import jax.numpy as jnp
         from ..models.mediapipe_face import make_mediapipe_detector_multi
         cd = jnp.bfloat16 if name.endswith("bf16") else None
+        cm = "exact" if name.endswith("exact") else "axis"
         return make_mediapipe_detector_multi(k_faces=k_faces,
-                                             compute_dtype=cd)
+                                             compute_dtype=cd,
+                                             crop_mode=cm)
     from ..models.landmarker import (load_default_detector,
                                      load_real_distilled_detector)
     from ..models.train import TrainConfig
@@ -82,7 +85,7 @@ def _resolve_detector_multi(name: str, k_faces: int):
         return make_cascade_detector_multi(params, TrainConfig().model,
                                            k_faces=k_faces)
     raise SystemExit(f"unknown detector {name!r} "
-                     "(skin|landmarker|refined|mediapipe|mediapipe-bf16)")
+                     "(skin|landmarker|refined|mediapipe|mediapipe-bf16|mediapipe-exact)")
 
 
 def analyze(video_path: str, detector=None):
@@ -276,7 +279,8 @@ def main(argv=None) -> int:
                         "per-face BPM traces)")
     p.add_argument("--detector", default="skin",
                    choices=["skin", "landmarker", "landmarker-real",
-                            "refined", "mediapipe", "mediapipe-bf16"],
+                            "refined", "mediapipe", "mediapipe-bf16",
+                            "mediapipe-exact"],
                    help="face localization: weight-free skin chroma "
                         "(fastest), learned landmarker, or landmarker + "
                         "crop self-refinement (most accurate)")
