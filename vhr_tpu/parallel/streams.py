@@ -39,11 +39,27 @@ def _single_stream(frames, detector, fps: float, cfg: PipelineConfig,
 
     ``detector`` is an optional pipeline detector callable (``frames ->
     (boxes, valid)``, e.g. the production MediaPipe port) whose weights ride
-    the shard_map as replicated inputs; ``None`` selects skin chroma."""
-    def one(fr):
+    the shard_map as replicated inputs; ``None`` selects skin chroma.
+
+    Detection is frame-local, so a pluggable detector runs once over the
+    FLATTENED (S_local*T) frame batch rather than vmapped per stream:
+    measured on the MediaPipe port, the per-stream vmap structure alone
+    cost 3x (2,843 vs 8,781 fps at 64x8 720p) — the flat batch keeps the
+    conv/resize ops in their natural layout.  Tracking/DSP stay
+    per-stream (the holdover scan is the only cross-frame state and never
+    crosses a stream boundary)."""
+    if detector is not None:
+        S, T, H, W, _ = frames.shape
+        boxes_f, valid_f = detector(frames.reshape(S * T, H, W, 3))
+        boxes_sk = boxes_f.reshape(S, T, 4)
+        valid_sk = valid_f.reshape(S, T)
+    else:
+        boxes_sk = valid_sk = None
+
+    def one(fr, bx, vl):
         T, H, W, _ = fr.shape
         if detector is not None:
-            boxes, valid = detector(fr)
+            boxes, valid = bx, vl
         else:
             boxes, valid = skin_detector.detect_faces(fr, det)
         track = vroi.holdover(boxes, valid, cfg.roi.landmark_hold_frames)
@@ -60,7 +76,10 @@ def _single_stream(frames, detector, fps: float, cfg: PipelineConfig,
             cfg.acquisition_len(fps))
         ok = jnp.logical_and(rolling.valid, track.valid)
         return rolling.bpm, ok, green
-    return jax.vmap(one)(frames)
+
+    if detector is not None:
+        return jax.vmap(one)(frames, boxes_sk, valid_sk)
+    return jax.vmap(lambda fr: one(fr, None, None))(frames)
 
 
 def _ffill(x, ok):
