@@ -726,6 +726,9 @@ CHECKS = {
     "live_device_ms": (("live_latency",
                         "device_compute_per_frame_amortized"), 0.5, -1),
     "mediapipe_fps": (("mediapipe", "value"), 0.5, +1),
+    "multistream_agg_fps": (("multistream", "aggregate_fps"), 0.5, +1),
+    "mediapipe_farm_fps": (("multistream", "mediapipe_farm_aggregate_fps"),
+                           0.5, +1),
 }
 BASELINE_FILE = "BENCH_BASELINES.json"
 
@@ -733,7 +736,8 @@ BASELINE_FILE = "BENCH_BASELINES.json"
 def _collect_check() -> dict:
     return {"flagship": bench_flagship(), "kernels": bench_kernels(),
             "live_latency": bench_live_latency(),
-            "mediapipe": bench_mediapipe()}
+            "mediapipe": bench_mediapipe(),
+            "multistream": bench_multistream()}
 
 
 def run_check(record: bool) -> int:

@@ -242,3 +242,69 @@ def test_roi_from_landmarks_tracks_rotation():
     nc = np.array([(naive[0] + naive[2]) / 2.0, (naive[1] + naive[3]) / 2.0])
     # The naive center misses the rotated band by more than the landmark ROI.
     assert np.linalg.norm(nc - expect) > 2.0 * np.linalg.norm(gc - expect)
+
+
+def test_holdover_attempted_mask_cadence_semantics():
+    """Detection-cadence tracking (``attempted``): not-attempted frames
+    reuse the box WITHOUT draining the holdover failure budget; the budget
+    counts only attempted-but-failed frames (the fused kernel's
+    ``tracked`` state, now for the XLA detector paths)."""
+    import jax.numpy as jnp
+    from vhr_tpu.ops import roi as vroi
+
+    T, hold = 12, 2
+    box = np.zeros((T, 4), np.int32)
+    box[0] = [10, 10, 20, 20]
+    valid = np.zeros((T,), bool)
+    valid[0] = True
+    # Cadence 4: frames 0, 4, 8 attempted; detection fails on 4 and 8.
+    attempted = np.zeros((T,), bool)
+    attempted[::4] = True
+
+    tr = vroi.holdover(jnp.asarray(box), jnp.asarray(valid), hold,
+                       attempted=jnp.asarray(attempted))
+    v = np.asarray(tr.valid)
+    # Frames 1-3 track (not attempted); 4 fails -> budget 2->1 reuse ok;
+    # 5-7 track; 8 fails -> budget 1->0 reuse ok; 9-11 still track (budget
+    # drains only on attempted failures).
+    assert v.all(), v
+    np.testing.assert_array_equal(np.asarray(tr.box),
+                                  np.broadcast_to(box[0], (T, 4)))
+
+    # Same inputs with every frame attempted: budget (2) exhausts after
+    # frames 1-2, so frames 3+ are invalid — the mask genuinely changes
+    # the semantics rather than being a no-op.
+    tr_all = vroi.holdover(jnp.asarray(box), jnp.asarray(valid), hold)
+    v_all = np.asarray(tr_all.valid)
+    assert v_all[:3].all() and not v_all[3:].any(), v_all
+
+
+def test_extract_signals_detect_every_pluggable():
+    """``extract_signals(detect_every=N)`` with a pluggable detector runs
+    the detector on ceil(T/N) frames only and tracks identically to
+    cadence 1 when detection is stable."""
+    import jax
+    import jax.numpy as jnp
+    from vhr_tpu.pipeline import offline
+
+    T, H, W = 13, 24, 32
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8))
+    box = jnp.asarray([4, 4, 28, 20], jnp.int32)
+
+    calls = {}
+
+    def det(fr):
+        calls["n"] = fr.shape[0]
+        return (jnp.broadcast_to(box, (fr.shape[0], 4)),
+                jnp.ones((fr.shape[0],), bool))
+
+    t1 = offline.extract_signals(frames, detector=det)
+    t4 = offline.extract_signals(frames, detector=det, detect_every=4)
+    assert calls["n"] == 4                      # ceil(13/4) frames detected
+    np.testing.assert_array_equal(np.asarray(t4.valid),
+                                  np.asarray(t1.valid))
+    np.testing.assert_array_equal(np.asarray(t4.boxes),
+                                  np.asarray(t1.boxes))
+    np.testing.assert_allclose(np.asarray(t4.bgr), np.asarray(t1.bgr),
+                               rtol=0, atol=1e-5)

@@ -88,8 +88,12 @@ def _resolve_detector_multi(name: str, k_faces: int):
                      "(skin|landmarker|refined|mediapipe|mediapipe-bf16|mediapipe-exact)")
 
 
-def analyze(video_path: str, detector=None):
-    """Run the app's three-filter analysis; returns a dict of traces."""
+def analyze(video_path: str, detector=None, detect_every: int = 1):
+    """Run the app's three-filter analysis; returns a dict of traces.
+
+    ``detect_every`` runs face detection on every N-th frame only, with
+    holdover tracking in between (`pipeline.offline.extract_signals`) —
+    an N-fold cut of the detector cost for ported-weights detectors."""
     import jax.numpy as jnp
 
     frames, fps = vio.read_video(video_path)
@@ -98,7 +102,8 @@ def analyze(video_path: str, detector=None):
     fj = jnp.asarray(frames)
 
     results = {"fps": fps, "frames": frames}
-    trace = offline.extract_signals(fj, detector=detector)
+    trace = offline.extract_signals(fj, detector=detector,
+                                    detect_every=detect_every)
     results["green"] = np.asarray(trace.bgr[:, 1])
     results["boxes"] = np.asarray(trace.boxes)
     results["rois"] = np.asarray(trace.rois)
@@ -118,8 +123,8 @@ def analyze(video_path: str, detector=None):
             window_seconds=10.0, band=BAND_VIDEO,
             filter=FilterConfig(kind=kind if kind != "fir" else "fir",
                                 order=order, fir_numtaps=41))
-        ts, bpm, valid = offline.measure_app_welch(fj, fps, cfg,
-                                                   detector=detector)
+        ts, bpm, valid = offline.measure_app_welch(
+            fj, fps, cfg, detector=detector, detect_every=detect_every)
         results[f"bpm_{kind}"] = bpm
         results[f"valid_{kind}"] = valid
         results["ts"] = ts
@@ -284,6 +289,9 @@ def main(argv=None) -> int:
                    help="face localization: weight-free skin chroma "
                         "(fastest), learned landmarker, or landmarker + "
                         "crop self-refinement (most accurate)")
+    p.add_argument("--detect-every", type=int, default=1, metavar="N",
+                   help="run face detection every N frames, holdover "
+                        "tracking in between (single-face path)")
     args = p.parse_args(argv)
 
     path = args.video or pick_video(args.videos_dir)
@@ -298,7 +306,8 @@ def main(argv=None) -> int:
                 print(f"face{k} BPM: {results['bpm'][idx[-1], k]:.2f}")
         render_multi(results, args.out_dir)
         return 0
-    results = analyze(path, detector=_resolve_detector(args.detector))
+    results = analyze(path, detector=_resolve_detector(args.detector),
+                      detect_every=args.detect_every)
     last = np.nonzero(results["valid_butterworth"])[0]
     if len(last):
         i = last[-1]

@@ -176,7 +176,8 @@ def cheek_roi_from_landmarks(landmarks: jnp.ndarray, cfg: ROIConfig,
 
 
 def holdover(box: jnp.ndarray, valid: jnp.ndarray,
-             hold_frames: int = 15, carry=None) -> BoxTrack:
+             hold_frames: int = 15, carry=None,
+             attempted=None) -> BoxTrack:
     """Detection-dropout tolerance as a scan over the time axis.
 
     Mirrors the reference's reuse rule (``analysis/utils/roi.py:91-101``):
@@ -192,33 +193,46 @@ def holdover(box: jnp.ndarray, valid: jnp.ndarray,
       valid: ``(T,)`` bool detection success.
       carry: optional scan carry from a previous chunk (chunked decode of
         long recordings carries tracking state across chunk boundaries).
+      attempted: optional ``(T,)`` bool — frames where detection actually
+        ran.  A frame that was *not attempted* (detection cadence
+        ``detect_every > 1``) reuses the tracked box WITHOUT draining the
+        holdover budget: the budget counts consecutive detection
+        *failures*, per the reference's rule, and a skipped frame is not a
+        failure (the fused Pallas kernel's ``tracked`` state has the same
+        semantics, ``ops/pallas_fused.py``).  ``None`` = every frame
+        attempted.
     Returns:
       :class:`BoxTrack` with holdover applied (use
       :func:`holdover_with_carry` to also get the final scan state).
     """
-    track, _ = holdover_with_carry(box, valid, hold_frames, carry)
+    track, _ = holdover_with_carry(box, valid, hold_frames, carry, attempted)
     return track
 
 
 def holdover_with_carry(box: jnp.ndarray, valid: jnp.ndarray,
-                        hold_frames: int = 15, carry=None):
+                        hold_frames: int = 15, carry=None, attempted=None):
     """:func:`holdover` variant returning the final scan carry, for chunked
     processing of long recordings (state flows across chunk boundaries)."""
     def step(c, inp):
         last_box, budget, has_last = c
-        b, v = inp
+        b, v, att = inp
         new_last = jnp.where(v, b, last_box)
         new_has = jnp.logical_or(v, has_last)
-        reuse_ok = jnp.logical_and(jnp.logical_not(v),
+        failed = jnp.logical_and(jnp.logical_not(v), att)
+        reuse_ok = jnp.logical_and(failed,
                                    jnp.logical_and(has_last, budget > 0))
+        tracked = jnp.logical_and(jnp.logical_not(att), has_last)
         new_budget = jnp.where(v, hold_frames,
                                jnp.where(reuse_ok, budget - 1, budget))
-        out_valid = jnp.logical_or(v, reuse_ok)
+        out_valid = jnp.logical_or(v, jnp.logical_or(reuse_ok, tracked))
         return (new_last, new_budget, new_has), (new_last, out_valid)
 
+    if attempted is None:
+        attempted = jnp.ones(valid.shape, bool)
     if carry is None:
         carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0), jnp.asarray(False))
-    final, (boxes, valids) = jax.lax.scan(step, carry, (box, valid))
+    final, (boxes, valids) = jax.lax.scan(step, carry,
+                                          (box, valid, attempted))
     return BoxTrack(box=boxes, valid=valids), final
 
 

@@ -79,11 +79,29 @@ def _split_detector(detector: Optional[DetectorFn]):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "det_fn", "use_pallas"))
-def _extract_signals_jit(frames, det_args, cfg, det_fn, use_pallas):
+                   static_argnames=("cfg", "det_fn", "use_pallas",
+                                    "detect_every"))
+def _extract_signals_jit(frames, det_args, cfg, det_fn, use_pallas,
+                         detect_every=1):
     T, H, W, _ = frames.shape
-    raw_boxes, raw_valid = det_fn(*det_args, frames)
-    track = vroi.holdover(raw_boxes, raw_valid, cfg.roi.landmark_hold_frames)
+    if detect_every > 1:
+        # Detection cadence: run the detector on every N-th frame only
+        # (static stride, so the conv batch stays a fixed shape) and let
+        # the holdover scan track through the not-attempted frames without
+        # draining the failure budget — the fused kernel's detect_every
+        # semantics, now for pluggable detectors (a ported-weights
+        # detector's cost divides by N).
+        sub = frames[::detect_every]
+        b_sub, v_sub = det_fn(*det_args, sub)
+        idx = jnp.arange(0, T, detect_every)
+        raw_boxes = jnp.zeros((T, 4), b_sub.dtype).at[idx].set(b_sub)
+        raw_valid = jnp.zeros((T,), bool).at[idx].set(v_sub)
+        attempted = jnp.zeros((T,), bool).at[idx].set(True)
+    else:
+        raw_boxes, raw_valid = det_fn(*det_args, frames)
+        attempted = None
+    track = vroi.holdover(raw_boxes, raw_valid, cfg.roi.landmark_hold_frames,
+                          attempted=attempted)
     rois = vroi.measurement_roi(track.box, cfg.roi, W, H, cfg.roi_site)
     rois = jnp.where(track.valid[:, None], rois, 0)
     if use_pallas:
@@ -116,6 +134,13 @@ def extract_signals(frames: jnp.ndarray,
       ``H % 8 == 0`` and ``W*3 % 128 == 0`` and the default skin detector
       (``detector`` must be None); ``detect_every`` subsamples the skin test
       temporally (boxes track in between).
+
+    ``detect_every`` applies to every path: the fused kernel gates its
+    in-kernel skin test, and the XLA paths run the (possibly pluggable)
+    detector on every N-th frame only — tracked frames reuse the box
+    without draining the holdover failure budget (``ops.roi.holdover``
+    ``attempted`` semantics), so a ported-weights detector's cost divides
+    by N exactly like the reference's own detection cadence would.
     """
     if use_pallas in (True, "fused"):
         if detector is not None:
@@ -127,7 +152,8 @@ def extract_signals(frames: jnp.ndarray,
         return extract_signals_fused(frames, cfg, detect_every=detect_every)
     det_fn, det_args = _split_detector(detector)
     return _extract_signals_jit(frames, det_args, cfg=cfg, det_fn=det_fn,
-                                use_pallas=(use_pallas == "roi"))
+                                use_pallas=(use_pallas == "roi"),
+                                detect_every=detect_every)
 
 
 def extract_signals_fused(frames: jnp.ndarray,
@@ -534,14 +560,16 @@ def measure_ica(frames: jnp.ndarray, fps: float,
 def measure_app_welch(frames: jnp.ndarray, fps: float,
                       cfg: PipelineConfig = PipelineConfig(),
                       detector: Optional[DetectorFn] = None,
-                      use_pallas: bool = False
+                      use_pallas: bool = False,
+                      detect_every: int = 1
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The interactive app's analysis loop (``rppg_VIDEO.py:392-415``):
     10 s sliding window, demean, zero-phase bandpass (per ``cfg.filter``),
     Welch PSD peak.  Runs every window as one batched program."""
     from ..dsp import design
 
-    trace = extract_signals(frames, cfg, detector, use_pallas)
+    trace = extract_signals(frames, cfg, detector, use_pallas,
+                            detect_every=detect_every)
     green = _fill_invalid(trace.bgr[:, cfg.channel], trace.valid)
     T = frames.shape[0]
     window_len = cfg.window_len(fps)
