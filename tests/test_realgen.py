@@ -29,7 +29,11 @@ def test_teacher_asset_fresh(teacher):
     params, det_apply, lm_apply = load_face_models()
     frames = jnp.asarray(img[None])
     rects, _, ok = detect_faces_mp(params, det_apply, frames, k_faces=1)
-    lm_px, presence = face_landmarks(params, lm_apply, frames, rects)
+    # The asset was distilled with MediaPipe-exact rotated sampling; the
+    # axis-crop product default deviates by up to ~1 px (documented
+    # tradeoff, docs/DETECTION.md), so freshness pins the exact mode.
+    lm_px, presence = face_landmarks(params, lm_apply, frames, rects,
+                                     crop_mode="exact")
     assert bool(np.asarray(ok)[0, 0])
     fresh = np.asarray(lm_px[0, 0])
     assert np.max(np.abs(fresh - teacher.cloud)) < 0.5   # px

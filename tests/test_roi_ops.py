@@ -308,3 +308,33 @@ def test_extract_signals_detect_every_pluggable():
                                   np.asarray(t1.boxes))
     np.testing.assert_allclose(np.asarray(t4.bgr), np.asarray(t1.bgr),
                                rtol=0, atol=1e-5)
+
+
+def test_extract_signals_multi_detect_every_pluggable():
+    """Multi-face detection cadence: the K-face detector runs on every
+    N-th frame and the identity-matched holdover tracks through the rest
+    without draining budgets — stable detections give cadence-4 output
+    identical to cadence-1."""
+    import jax.numpy as jnp
+    from vhr_tpu.pipeline import offline
+
+    T, H, W, K = 13, 24, 32, 2
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8))
+    boxes = jnp.asarray([[2, 4, 12, 18], [18, 5, 30, 19]], jnp.int32)
+
+    calls = {}
+
+    def det(fr):
+        calls["n"] = fr.shape[0]
+        return (jnp.broadcast_to(boxes, (fr.shape[0], K, 4)),
+                jnp.ones((fr.shape[0], K), bool))
+
+    t1 = offline.extract_signals_multi(frames, K, detector=det)
+    t4 = offline.extract_signals_multi(frames, K, detector=det,
+                                       detect_every=4)
+    assert calls["n"] == 4
+    np.testing.assert_array_equal(np.asarray(t4.valid), np.asarray(t1.valid))
+    np.testing.assert_array_equal(np.asarray(t4.boxes), np.asarray(t1.boxes))
+    np.testing.assert_allclose(np.asarray(t4.bgr), np.asarray(t1.bgr),
+                               rtol=0, atol=1e-5)

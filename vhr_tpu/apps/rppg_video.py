@@ -131,7 +131,8 @@ def analyze(video_path: str, detector=None, detect_every: int = 1):
     return results
 
 
-def analyze_multi(video_path: str, k_faces: int, detector=None):
+def analyze_multi(video_path: str, k_faces: int, detector=None,
+                  detect_every: int = 1):
     """K-subject analysis: per-face cheek-green traces + Welch BPM.
 
     Goes beyond the reference, which requests ``num_faces=2`` but renders
@@ -147,7 +148,8 @@ def analyze_multi(video_path: str, k_faces: int, detector=None):
     cfg = PipelineConfig(window_seconds=10.0, acquisition_seconds=5.0,
                          band=BAND_VIDEO, estimator="welch")
     trace = offline.extract_signals_multi(fj, k_faces, cfg,
-                                          detector=detector)
+                                          detector=detector,
+                                          detect_every=detect_every)
     ts, bpm, ok = offline.measure_green_avg_multi(fj, fps, k_faces, cfg,
                                                   trace=trace)
     return {"fps": fps, "frames": frames, "ts": ts,
@@ -291,14 +293,15 @@ def main(argv=None) -> int:
                         "crop self-refinement (most accurate)")
     p.add_argument("--detect-every", type=int, default=1, metavar="N",
                    help="run face detection every N frames, holdover "
-                        "tracking in between (single-face path)")
+                        "tracking in between")
     args = p.parse_args(argv)
 
     path = args.video or pick_video(args.videos_dir)
     if args.faces > 1:
         results = analyze_multi(
             path, args.faces,
-            detector=_resolve_detector_multi(args.detector, args.faces))
+            detector=_resolve_detector_multi(args.detector, args.faces),
+            detect_every=args.detect_every)
         ok = results["bpm_valid"]
         for k in range(args.faces):
             idx = np.nonzero(ok[:, k])[0]

@@ -237,7 +237,7 @@ def holdover_with_carry(box: jnp.ndarray, valid: jnp.ndarray,
 
 
 def holdover_multi(box: jnp.ndarray, valid: jnp.ndarray,
-                   hold_frames: int = 15) -> BoxTrack:
+                   hold_frames: int = 15, attempted=None) -> BoxTrack:
     """K-track holdover with identity assignment (multi-subject monitoring).
 
     Per-frame candidate boxes arrive in arbitrary (or x-sorted) order and
@@ -264,10 +264,13 @@ def holdover_multi(box: jnp.ndarray, valid: jnp.ndarray,
     K = box.shape[1]
 
     def step(carry, inp):
-        return holdover_multi_step(carry, inp[0], inp[1], hold_frames)
+        return holdover_multi_step(carry, inp[0], inp[1], hold_frames,
+                                   attempted=inp[2])
 
+    if attempted is None:
+        attempted = jnp.ones((box.shape[0],), bool)
     _, (boxes, valids) = jax.lax.scan(step, init_multi_carry(K),
-                                      (box, valid))
+                                      (box, valid, attempted))
     return BoxTrack(box=boxes, valid=valids)
 
 
@@ -279,7 +282,7 @@ def init_multi_carry(k_faces: int):
 
 
 def holdover_multi_step(carry, cand: jnp.ndarray, cval: jnp.ndarray,
-                        hold_frames: int = 15):
+                        hold_frames: int = 15, attempted=True):
     """One frame of the K-track identity-matched holdover.
 
     Shared by the offline scan (:func:`holdover_multi`) and the live
@@ -289,6 +292,10 @@ def holdover_multi_step(carry, cand: jnp.ndarray, cval: jnp.ndarray,
     Args:
       carry: ``(last (K, 4), budget (K,), has (K,))``.
       cand/cval: this frame's ``(K, 4)`` candidates and ``(K,)`` validity.
+      attempted: scalar bool — detection ran this frame.  ``False``
+        (detection cadence) holds every live track without matching,
+        budget drain, or slot claiming (the single-face ``attempted``
+        semantics, :func:`holdover`).
     Returns:
       ``(new_carry, (boxes (K, 4), valid (K,)))``.
     """
@@ -347,4 +354,12 @@ def holdover_multi_step(carry, cand: jnp.ndarray, cval: jnp.ndarray,
                            jnp.where(reuse, budget - 1, budget))
     new_has = jnp.logical_or(got, has)
     out_valid = jnp.logical_or(got, reuse)
+
+    # Not-attempted frame (detection cadence): pure tracking — every live
+    # track holds its box and budget; the matching above is discarded.
+    att = jnp.asarray(attempted, bool)
+    new_last = jnp.where(att, new_last, last)
+    new_budget = jnp.where(att, new_budget, budget)
+    new_has = jnp.where(att, new_has, has)
+    out_valid = jnp.where(att, out_valid, has)
     return ((new_last, new_budget, new_has), (new_last, out_valid))

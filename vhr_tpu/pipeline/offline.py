@@ -230,19 +230,36 @@ def extract_signals_landmark_roi(frames: jnp.ndarray, detector,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k_faces", "cfg", "det", "det_fn"))
-def _extract_signals_multi_jit(frames, det_args, k_faces, cfg, det, det_fn):
+                   static_argnames=("k_faces", "cfg", "det", "det_fn",
+                                    "detect_every"))
+def _extract_signals_multi_jit(frames, det_args, k_faces, cfg, det, det_fn,
+                               detect_every=1):
     from ..models import multiface
 
     T, H, W, _ = frames.shape
-    if det_fn is None:
-        raw_boxes, raw_valid = multiface.detect_faces_multi(frames, k_faces,
-                                                            det)
+
+    def detect(fr):
+        if det_fn is None:
+            return multiface.detect_faces_multi(fr, k_faces, det)
+        return det_fn(*det_args, fr)
+
+    if detect_every > 1:
+        # Detection cadence, multi-face: every N-th frame detects, the
+        # K-track holdover holds identity through the rest without
+        # draining budgets (ops.roi.holdover_multi attempted semantics).
+        sub = frames[::detect_every]
+        b_sub, v_sub = detect(sub)
+        idx = jnp.arange(0, T, detect_every)
+        raw_boxes = jnp.zeros((T, k_faces, 4), b_sub.dtype).at[idx].set(b_sub)
+        raw_valid = jnp.zeros((T, k_faces), bool).at[idx].set(v_sub)
+        attempted = jnp.zeros((T,), bool).at[idx].set(True)
     else:
-        raw_boxes, raw_valid = det_fn(*det_args, frames)
+        raw_boxes, raw_valid = detect(frames)
+        attempted = None
 
     track = vroi.holdover_multi(raw_boxes, raw_valid,
-                                cfg.roi.landmark_hold_frames)  # (T, K, ...)
+                                cfg.roi.landmark_hold_frames,
+                                attempted=attempted)  # (T, K, ...)
 
     rois = vroi.measurement_roi(track.box, cfg.roi, W, H,
                                 cfg.roi_site)                # (T, K, 4)
@@ -255,7 +272,8 @@ def _extract_signals_multi_jit(frames, det_args, k_faces, cfg, det, det_fn):
 
 def extract_signals_multi(frames: jnp.ndarray, k_faces: int = 2,
                           cfg: PipelineConfig = PipelineConfig(),
-                          det=None, detector=None) -> SignalTrace:
+                          det=None, detector=None,
+                          detect_every: int = 1) -> SignalTrace:
     """Multi-subject :func:`extract_signals`: per-face cheek-ROI means.
 
     Top-``k_faces`` skin regions per frame (``models.multiface``), identity-
@@ -280,7 +298,8 @@ def extract_signals_multi(frames: jnp.ndarray, k_faces: int = 2,
     else:
         det_fn, det_args = detector, ()
     return _extract_signals_multi_jit(frames, det_args, k_faces=k_faces,
-                                      cfg=cfg, det=det, det_fn=det_fn)
+                                      cfg=cfg, det=det, det_fn=det_fn,
+                                      detect_every=detect_every)
 
 
 def measure_green_avg_multi(frames: jnp.ndarray, fps: float,
