@@ -257,3 +257,57 @@ def test_live_pipeline_matches_sequential(clip):
     assert last is not None and pipe.flush() is None
     # first submit returns None; outputs then stream in order
     np.testing.assert_allclose(np.asarray(got), np.asarray(seq[:n - 1]))
+
+
+def test_live_detect_every_cadence_pluggable():
+    """``LiveConfig(detect_every=N)`` with a pluggable detector: detection
+    runs on wall frames 0, N, 2N, ... only (counted via a host callback on
+    the cond branch being traced is NOT possible — count actual detector
+    *validity* effects instead), skipped frames track without draining the
+    holdover budget, and output equals cadence 1 under stable detection."""
+    import jax.numpy as jnp
+
+    T, H, W = 13, 24, 32
+    rng = np.random.default_rng(2)
+    frames = [jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+              for _ in range(T)]
+    box = jnp.asarray([4, 4, 28, 20], jnp.int32)
+
+    def det(fr):
+        return (jnp.broadcast_to(box, (fr.shape[0], 4)),
+                jnp.ones((fr.shape[0],), bool))
+
+    outs = {}
+    for every in (1, 4):
+        cfg = live.LiveConfig(fps=10.0, detect_every=every)
+        st = live.init_state(cfg)
+        rows = []
+        for f in frames:
+            st, out = live.step(st, f, cfg, detector=det)
+            rows.append((bool(out.face_valid), float(out.green_raw),
+                         np.asarray(out.box).tolist()))
+        outs[every] = rows
+    assert outs[1] == outs[4]
+
+    # Budget semantics: a detector that NEVER fires after frame 0 keeps
+    # tracking on skipped frames; only attempted failures drain budget.
+    hold = live.LiveConfig(fps=10.0, detect_every=4).roi.landmark_hold_frames
+    fire = {"on": True}
+
+    def det_once(fr):
+        ok = jnp.asarray([fire["on"]])
+        return jnp.broadcast_to(box, (fr.shape[0], 4)), ok
+
+    cfg = live.LiveConfig(fps=10.0, detect_every=4)
+    st = live.init_state(cfg)
+    st, out0 = live.step(st, frames[0], cfg, detector=det_once)
+    assert bool(out0.face_valid)
+    fire["on"] = False
+    valid = []
+    for f in frames[1:]:
+        st, out = live.step(st, f, cfg, detector=det_once)
+        valid.append(bool(out.face_valid))
+    # Attempted failures at wall frames 4, 8, 12 -> budget 15 drains by 3;
+    # all 12 following frames remain valid (tracked or reused).
+    assert all(valid), valid
+    assert int(st.hold_budget) == hold - 3

@@ -153,6 +153,10 @@ def main(argv=None) -> int:
                    help="monitor up to K subjects at once (the reference "
                         "requests num_faces=2 but only processes face 0; "
                         "here every slot gets a full live chain)")
+    p.add_argument("--detect-every", type=int, default=1, metavar="N",
+                   help="run detection every N wall frames; holdover "
+                        "tracking in between (fused kernel and pluggable "
+                        "detectors; single-face path)")
     p.add_argument("--detector", default="skin",
                    choices=["skin", "landmarker", "landmarker-real",
                             "refined", "mediapipe", "mediapipe-bf16",
@@ -176,7 +180,7 @@ def main(argv=None) -> int:
             # proposals or the skin+refine cascade instead of pure chroma.
             from .rppg_video import _resolve_detector_multi
             detector = _resolve_detector_multi(args.detector, args.faces)
-    cfg = live.LiveConfig()
+    cfg = live.LiveConfig(detect_every=args.detect_every)
     if args.fused:
         cfg = dataclasses.replace(cfg, use_fused=True, detect_row_pool=8,
                                   gate_margin=0.15)

@@ -48,6 +48,15 @@ class LiveConfig:
     use_fused: bool = False
     detect_row_pool: int = 1
     gate_margin: Optional[float] = None
+    # Detection cadence: run detection on every N-th wall frame only
+    # (``frame_idx`` phase), tracking through the rest without draining
+    # the holdover failure budget (``ops.roi.holdover`` attempted
+    # semantics).  Applies to the fused kernel's in-kernel skin test AND
+    # pluggable detectors (``lax.cond``-gated, so skipped frames pay no
+    # detector compute — measured: the production MediaPipe 720p step
+    # drops 0.667 -> 0.279 ms/frame at cadence 8; the remaining floor is
+    # the per-frame Welch over the 500-ring).
+    detect_every: int = 1
     # Measurement site ("cheek" | "forehead"); the fused kernel is
     # cheek-only (PipelineConfig.roi_site semantics).
     roi_site: str = "cheek"
@@ -193,6 +202,7 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
                        state.has_last.astype(jnp.int32)])])
         res, carry_out = fused_detect_roi_carry(
             frame[None], carry, roi=cfg.roi,
+            detect_every=cfg.detect_every,
             detect_row_pool=cfg.detect_row_pool,
             gate_margin=cfg.gate_margin,
             interpret=jax.default_backend() != "tpu",
@@ -203,21 +213,40 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
         new_budget = carry_out[4]
         new_has = carry_out[5] > 0
     else:
-        if det_fn is None:
-            boxes, det_valid = skin_detector.detect_faces(frame[None])
-        else:
-            boxes, det_valid = det_fn(*det_args, frame[None])
-        box, v = boxes[0], det_valid[0]
+        def run_detect(fr):
+            if det_fn is None:
+                boxes, det_valid = skin_detector.detect_faces(fr)
+            else:
+                boxes, det_valid = det_fn(*det_args, fr)
+            return boxes[0].astype(jnp.int32), det_valid[0]
 
-        # Landmark holdover, single-step (analysis/utils/roi.py:91-101 rule).
+        if cfg.detect_every > 1:
+            # Cadence on the wall-frame phase; skipped frames execute only
+            # the trivial branch of the cond (real compute saving on TPU).
+            attempt = jax.lax.rem(
+                state.frame_idx, jnp.int32(cfg.detect_every)) == 0
+            box, v = jax.lax.cond(
+                attempt, run_detect,
+                lambda fr: (jnp.zeros((4,), jnp.int32), jnp.asarray(False)),
+                frame[None])
+        else:
+            attempt = jnp.asarray(True)
+            box, v = run_detect(frame[None])
+
+        # Landmark holdover, single-step (analysis/utils/roi.py:91-101
+        # rule) with the cadence 'attempted' semantics: a skipped frame
+        # tracks without draining the failure budget.
         new_last = jnp.where(v, box, state.last_box)
         new_has = jnp.logical_or(v, state.has_last)
-        reuse_ok = jnp.logical_and(~v, jnp.logical_and(state.has_last,
-                                                       state.hold_budget > 0))
+        failed = jnp.logical_and(~v, attempt)
+        reuse_ok = jnp.logical_and(failed,
+                                   jnp.logical_and(state.has_last,
+                                                   state.hold_budget > 0))
+        tracked = jnp.logical_and(~attempt, state.has_last)
         new_budget = jnp.where(v, cfg.roi.landmark_hold_frames,
                                jnp.where(reuse_ok, state.hold_budget - 1,
                                          state.hold_budget))
-        face_valid = jnp.logical_or(v, reuse_ok)
+        face_valid = jnp.logical_or(v, jnp.logical_or(reuse_ok, tracked))
 
         roi = vroi.measurement_roi(new_last[None], cfg.roi, W, H,
                                    cfg.roi_site)[0]
