@@ -311,3 +311,33 @@ def test_live_detect_every_cadence_pluggable():
     # all 12 following frames remain valid (tracked or reused).
     assert all(valid), valid
     assert int(st.hold_budget) == hold - 3
+
+
+def test_live_multi_detect_every_cadence():
+    """Multi-face live cadence: cadence-4 output equals cadence-1 under
+    stable detection, and tracks hold without budget drain on skipped
+    frames."""
+    import jax.numpy as jnp
+
+    T, H, W, K = 13, 24, 32, 2
+    rng = np.random.default_rng(4)
+    frames = [jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+              for _ in range(T)]
+    boxes = jnp.asarray([[2, 4, 12, 18], [18, 5, 30, 19]], jnp.int32)
+
+    def det(fr):
+        return (jnp.broadcast_to(boxes, (fr.shape[0], K, 4)),
+                jnp.ones((fr.shape[0], K), bool))
+
+    outs = {}
+    for every in (1, 4):
+        cfg = live.LiveConfig(fps=10.0, detect_every=every)
+        st = live.init_state_multi(cfg, k_faces=K)
+        rows = []
+        for f in frames:
+            st, out = live.step_multi(st, f, cfg, K, detector=det)
+            rows.append((np.asarray(out.face_valid).tolist(),
+                         np.asarray(out.green_raw).round(5).tolist(),
+                         np.asarray(out.box).tolist()))
+        outs[every] = rows
+    assert outs[1] == outs[4]

@@ -155,8 +155,8 @@ def main(argv=None) -> int:
                         "here every slot gets a full live chain)")
     p.add_argument("--detect-every", type=int, default=1, metavar="N",
                    help="run detection every N wall frames; holdover "
-                        "tracking in between (fused kernel and pluggable "
-                        "detectors; single-face path)")
+                        "tracking in between (all detection modes, "
+                        "single- and multi-face)")
     p.add_argument("--detector", default="skin",
                    choices=["skin", "landmarker", "landmarker-real",
                             "refined", "mediapipe", "mediapipe-bf16",

@@ -387,6 +387,8 @@ class MultiLiveState(NamedTuple):
     last_box: jnp.ndarray     # (K, 4)
     hold_budget: jnp.ndarray  # (K,)
     has_last: jnp.ndarray     # (K,) bool
+    frame_idx: jnp.ndarray    # () wall-frame counter (cadence phase,
+                              # advances every frame — LiveState.frame_idx)
 
 
 def init_state_multi(cfg: LiveConfig = LiveConfig(),
@@ -401,6 +403,7 @@ def init_state_multi(cfg: LiveConfig = LiveConfig(),
         last_box=jnp.zeros((K, 4), jnp.int32),
         hold_budget=jnp.zeros((K,), jnp.int32),
         has_last=jnp.zeros((K,), bool),
+        frame_idx=jnp.int32(0),
     )
 
 
@@ -412,14 +415,33 @@ def _step_multi_impl(state: MultiLiveState, frame: jnp.ndarray,
     H, W, _ = frame.shape
     sos = _sos(cfg)
 
-    if det_fn is None:
-        cand, cval = detect_faces_multi(frame[None], k_faces)
+    def run_detect(fr):
+        if det_fn is None:
+            cand, cval = detect_faces_multi(fr, k_faces)
+        else:
+            cand, cval = det_fn(*det_args, fr)
+        return cand[0].astype(jnp.int32), cval[0]
+
+    if cfg.detect_every > 1:
+        # Detection cadence on the wall-frame phase (LiveConfig
+        # .detect_every, the single-face step's semantics): skipped frames
+        # run only the trivial cond branch and hold every live track.
+        attempt = jax.lax.rem(state.frame_idx,
+                              jnp.int32(cfg.detect_every)) == 0
+        cand0, cval0 = jax.lax.cond(
+            attempt, run_detect,
+            lambda fr: (jnp.zeros((k_faces, 4), jnp.int32),
+                        jnp.zeros((k_faces,), bool)),
+            frame[None])
     else:
-        cand, cval = det_fn(*det_args, frame[None])
+        attempt = jnp.asarray(True)
+        cand0, cval0 = run_detect(frame[None])
+
     carry = (state.last_box, state.hold_budget, state.has_last)
     (new_last, new_budget, new_has), (boxes, face_valid) = \
-        vroi.holdover_multi_step(carry, cand[0], cval[0],
-                                 cfg.roi.landmark_hold_frames)
+        vroi.holdover_multi_step(carry, cand0, cval0,
+                                 cfg.roi.landmark_hold_frames,
+                                 attempted=attempt)
 
     rois = vroi.measurement_roi(boxes, cfg.roi, W, H,
                                 cfg.roi_site)                 # (K, 4)
@@ -453,7 +475,8 @@ def _step_multi_impl(state: MultiLiveState, frame: jnp.ndarray,
 
     new_state = MultiLiveState(ring_raw=ring_raw, ring_filt=ring_filt,
                                count=count, zi=zi, last_box=new_last,
-                               hold_budget=new_budget, has_last=new_has)
+                               hold_budget=new_budget, has_last=new_has,
+                               frame_idx=state.frame_idx + 1)
     out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
                      green_filtered=filt, box=boxes, face_valid=face_valid)
     return new_state, out
