@@ -160,6 +160,44 @@ def main() -> int:
         worst = max(worst, r["mae_tpu_vs_cpu_reference"])
     lines += ["", f"Worst-case MAE vs CPU reference: **{worst:.4f} BPM** "
               f"(target <= 0.5)."]
+    # Standing sections (pinned by their named tests, so regeneration
+    # keeps them current rather than clobbering them).
+    lines += [
+        "",
+        "## Real-imagery validation (round 3)",
+        "",
+        "The synthetic-only caveat on the numbers above is now bounded"
+        " from the",
+        "real side (`vhr_tpu/utils/realface.py`, `tests/test_realface.py`):"
+        " the",
+        "bundled real photograph, animated with a known injected pulse"
+        " and rigid",
+        "micro-motion, runs the full production path (`--detector"
+        " mediapipe`,",
+        "ported production weights) end-to-end — face tracked at IoU"
+        " >= 0.97",
+        "against the motion-tracked truth box, injected BPM recovered"
+        " to the",
+        "nearest FFT bin.  Detector fidelity on real imagery is tabulated"
+        " in",
+        "`docs/DETECTION.md` (\"Real-face validation\").",
+        "",
+        "## Adaptive method selection (round 3)",
+        "",
+        "`measure_adaptive` picks green/CHROM/POS/OMIT per rolling window"
+        " by",
+        "in-band SNR at the cross-method consensus frequency.  Pinned"
+        " behavior",
+        "(`tests/test_adaptive.py`): under 20x in-band common-mode flicker"
+        " the",
+        "raw green mean locks to the flicker; the selector de-selects"
+        " green on",
+        ">90% of steady frames and the output tracks the true pulse"
+        " within the",
+        "FFT-bin tolerance; on clean traces every steady frame stays"
+        " within",
+        "3 BPM of truth.",
+    ]
     with open("VALIDATION.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
