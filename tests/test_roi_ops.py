@@ -338,3 +338,35 @@ def test_extract_signals_multi_detect_every_pluggable():
     np.testing.assert_array_equal(np.asarray(t4.boxes), np.asarray(t1.boxes))
     np.testing.assert_allclose(np.asarray(t4.bgr), np.asarray(t1.bgr),
                                rtol=0, atol=1e-5)
+
+
+def test_streaming_detect_every_matches_whole_video():
+    """Chunked streaming with detection cadence equals the whole-video
+    cadence pass across chunk boundaries (chunk starts stay on the global
+    detection phase because detect_every divides chunk_frames)."""
+    import cv2
+    import tempfile
+    import jax.numpy as jnp
+    from vhr_tpu.pipeline import offline
+    from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+    v = synthesize(SynthSpec(duration_s=3.0, height=48, width=64, bpm=75.0))
+    path = tempfile.mktemp(suffix=".avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), v.fps,
+                        (64, 48))
+    for f in v.frames:
+        w.write(f)
+    w.release()
+
+    from vhr_tpu.io import video as vio
+    frames, fps = vio.read_video(path)
+    whole = offline.extract_signals(jnp.asarray(frames), detect_every=4)
+    bgr, valid, _ = offline.extract_signals_streaming(
+        path, chunk_frames=8, detect_every=4)
+    np.testing.assert_array_equal(valid, np.asarray(whole.valid))
+    np.testing.assert_allclose(bgr, np.asarray(whole.bgr), rtol=0, atol=2e-4)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        offline.extract_signals_streaming(path, chunk_frames=10,
+                                          detect_every=4)

@@ -631,7 +631,8 @@ def extract_signals_streaming(video_path: str,
                               detect_row_pool: int = 1,
                               gate_margin: Optional[float] = None,
                               ring_stats: Optional[dict] = None,
-                              n_decoders: int = 1):
+                              n_decoders: int = 1,
+                              detect_every: int = 1):
     """Chunked-decode signal extraction for long recordings.
 
     The reference eagerly reads whole videos into RAM
@@ -653,6 +654,11 @@ def extract_signals_streaming(video_path: str,
     ``io.native.NativeVideoReader.stats``).  ``n_decoders > 1`` decodes
     disjoint segments in parallel on the native reader (SURVEY §7 risk (b));
     output order and values are unchanged.
+
+    ``detect_every`` (must divide ``chunk_frames``) applies the detection
+    cadence of :func:`extract_signals` across chunk boundaries: every
+    chunk starts on a detection frame, holdover tracks through the rest
+    without draining the failure budget.
     """
     import jax
 
@@ -663,6 +669,11 @@ def extract_signals_streaming(video_path: str,
     if use_fused and detector is not None:
         raise ValueError("use_fused streams through the skin-detector "
                          "kernel; pass detector=None")
+    if detect_every > 1 and chunk_frames % detect_every != 0:
+        # Chunk-aligned cadence keeps the per-chunk detection stride
+        # static (every chunk starts on a detection frame), so the conv
+        # batch shape never depends on the traced phase.
+        raise ValueError("detect_every must divide chunk_frames")
     det_fn, det_args = _split_detector(detector)
 
     reader = None
@@ -689,6 +700,7 @@ def extract_signals_streaming(video_path: str,
             fcarry, phase = state
             res, fcarry = fused_detect_roi_carry(
                 frames_flat, fcarry, roi=cfg.roi,
+                detect_every=detect_every,
                 detect_row_pool=detect_row_pool, gate_margin=gate_margin,
                 interpret=interp, t_len=frames_flat.shape[0], phase=phase)
             return res.means, res.roi_valid, (fcarry,
@@ -709,9 +721,22 @@ def extract_signals_streaming(video_path: str,
             T, H, WC = frames_flat.shape
             W = WC // 3
             frames = frames_flat.reshape(T, H, W, 3)
-            boxes, valid = det_fn(*det_args, frames)
+            if detect_every > 1:
+                # Chunk starts are multiples of chunk_frames (hence of
+                # detect_every), so frame 0 of every chunk detects — the
+                # [0::N] stride is globally phase-correct.
+                sub = frames[::detect_every]
+                b_sub, v_sub = det_fn(*det_args, sub)
+                idx = jnp.arange(0, T, detect_every)
+                boxes = jnp.zeros((T, 4), b_sub.dtype).at[idx].set(b_sub)
+                valid = jnp.zeros((T,), bool).at[idx].set(v_sub)
+                attempted = jnp.zeros((T,), bool).at[idx].set(True)
+            else:
+                boxes, valid = det_fn(*det_args, frames)
+                attempted = None
             track, carry = vroi_mod.holdover_with_carry(
-                boxes, valid, cfg.roi.landmark_hold_frames, carry)
+                boxes, valid, cfg.roi.landmark_hold_frames, carry,
+                attempted=attempted)
             rois = vroi_mod.measurement_roi(track.box, cfg.roi, W, H,
                                             cfg.roi_site)
             rois = jnp.where(track.valid[:, None], rois, 0)
@@ -760,7 +785,8 @@ def measure_green_avg_file(video_path: str,
                            chunk_frames: int = 256,
                            use_fused: bool = False,
                            detect_row_pool: int = 1,
-                           gate_margin: Optional[float] = None
+                           gate_margin: Optional[float] = None,
+                           detect_every: int = 1
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Streaming-decode variant of :func:`measure_green_avg` (bounded RAM)."""
     import jax.numpy as jnp_
@@ -769,7 +795,8 @@ def measure_green_avg_file(video_path: str,
 
     bgr, valid, fps = extract_signals_streaming(
         video_path, cfg, detector, chunk_frames, use_fused=use_fused,
-        detect_row_pool=detect_row_pool, gate_margin=gate_margin)
+        detect_row_pool=detect_row_pool, gate_margin=gate_margin,
+        detect_every=detect_every)
     T = bgr.shape[0]
     ts = np.arange(T) / fps if T else np.zeros(0)
     if T == 0:
