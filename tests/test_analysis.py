@@ -204,3 +204,50 @@ def test_accuracy_metric_computation(tmp_path):
     csv = (tmp_path / "accuracy_vs_dummy.csv").read_text()
     assert csv.splitlines()[0] == "method,degradation,rmse,pte5,pte10,corr"
     assert "m,a," in csv
+
+
+def test_sweep_detector_context(workspace, tmp_path):
+    """`--detector` on the sweep threads the face-localization choice to
+    every measurement through analysis.context (the reference's harness
+    hard-codes MediaPipe; here it is a harness option with the plugin
+    contract unchanged), and the green_avg_psd ROI-mean cache keys on it."""
+    from vhr_tpu.analysis import context
+    from vhr_tpu.utils import realface
+
+    # A real-portrait clip: the skin-chroma default barely tracks it, the
+    # production weights do — the context choice must change the result.
+    clip = realface.synthesize_real_face_clip(bpm=72.0, fps=10.0,
+                                              duration_s=14.0, scale=0.35)
+    video = tmp_path / "real.avi"
+    vio.write_video(clip.frames, str(video), clip.fps)
+
+    try:
+        context.set_detector("mediapipe")
+        context.set_detect_every(2)
+        arr = registry.get_measurement("green_avg").measure(str(video))
+        assert arr.shape[0] > 0
+        steady = arr[arr[:, 0] >= 10.0]
+        assert len(steady) and np.abs(steady[:, 1] - 72.0).min() < 10.0
+
+        # Cache key isolation for the psd variant.
+        from vhr_tpu.analysis.measurement import green_avg_psd
+        g1, v1, _ = green_avg_psd._cached_green(str(video))
+        cache_dir = Path(os.environ["VHR_CACHE_DIR"]) / "roi_mean_data"
+        named = list(cache_dir.glob("real.mediapipe-e2.npz"))
+        assert named, list(cache_dir.glob("*"))
+    finally:
+        context.set_detector("skin")
+        context.set_detect_every(1)
+
+    # CLI surface parses and stores the choice.
+    import argparse
+    try:
+        amain.main(["--video", str(video), "--methods", "dummy",
+                    "--degradation", "dummy",
+                    "--detector", "mediapipe", "--detect-every", "4",
+                    "--results-dir", str(tmp_path / "res")])
+        assert context.current_detector_name() == "mediapipe"
+        assert context.current_detect_every() == 4
+    finally:
+        context.set_detector("skin")
+        context.set_detect_every(1)

@@ -115,7 +115,23 @@ def main(argv=None) -> int:
                         help="ground-truth CSV (default <video stem>.csv)")
     parser.add_argument("--metrics-dir", default=None,
                         help="extra directory of metric plugin files")
+    parser.add_argument("--detector", default="skin",
+                        choices=["skin", "landmarker", "landmarker-real",
+                                 "refined", "mediapipe", "mediapipe-bf16",
+                                 "mediapipe-exact"],
+                        help="face localization used by every measurement "
+                             "in the sweep (the reference's harness "
+                             "hard-codes MediaPipe, analysis/utils/roi.py"
+                             ":17-20; threaded via analysis.context so the "
+                             "plugin contract stays measure(video_path))")
+    parser.add_argument("--detect-every", type=int, default=1, metavar="N",
+                        help="detection cadence for the sweep's "
+                             "measurements (holdover tracking in between)")
     args = parser.parse_args(argv)
+
+    from . import context
+    context.set_detector(args.detector)
+    context.set_detect_every(args.detect_every)
 
     video_path = args.video if os.path.exists(args.video) else \
         os.path.join(args.videos_dir, args.video)

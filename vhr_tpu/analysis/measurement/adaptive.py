@@ -26,5 +26,9 @@ def measure(video_path: str) -> np.ndarray:
         return np.empty((0, 2))
     cfg = PipelineConfig(window_seconds=WINDOW_SIZE,
                          acquisition_seconds=ACQUISITION_TIME)
-    res = offline.measure_adaptive(jnp.asarray(frames), fps, cfg)
+    from .. import context
+    res = offline.measure_adaptive(
+        jnp.asarray(frames), fps, cfg,
+        detector=context.current_detector(),
+        detect_every=context.current_detect_every())
     return offline.to_measurement_array(res.ts, res.bpm, res.valid)

@@ -21,5 +21,9 @@ def measure(video_path: str) -> np.ndarray:
         return np.empty((0, 2))
     cfg = PipelineConfig(window_seconds=10.0, band=BAND_VIDEO,
                          filter=FilterConfig(kind="cheby2", order=4))
-    ts, bpm, valid = offline.measure_app_welch(jnp.asarray(frames), fps, cfg)
+    from .. import context
+    ts, bpm, valid = offline.measure_app_welch(
+        jnp.asarray(frames), fps, cfg,
+        detector=context.current_detector(),
+        detect_every=context.current_detect_every())
     return offline.to_measurement_array(ts, bpm, valid)

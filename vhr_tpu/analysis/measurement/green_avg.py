@@ -24,5 +24,9 @@ def measure(video_path: str) -> np.ndarray:
         return np.empty((0, 2))
     cfg = PipelineConfig(window_seconds=WINDOW_SIZE,
                          acquisition_seconds=ACQUISITION_TIME)
-    ts, bpm, valid = offline.measure_green_avg(jnp.asarray(frames), fps, cfg)
+    from .. import context
+    ts, bpm, valid = offline.measure_green_avg(
+        jnp.asarray(frames), fps, cfg,
+        detector=context.current_detector(),
+        detect_every=context.current_detect_every())
     return offline.to_measurement_array(ts, bpm, valid)

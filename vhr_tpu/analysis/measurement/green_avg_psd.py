@@ -30,9 +30,17 @@ CACHE_DIR = Path(os.environ.get("VHR_CACHE_DIR", "cache"))
 
 
 def _cached_green(video_path: str):
-    """Per-frame (green, valid, fps), cached as .npz keyed by the video."""
+    """Per-frame (green, valid, fps), cached as .npz keyed by the video
+    AND the harness detector configuration (a skin-detector cache entry
+    must never serve a `--detector mediapipe` sweep)."""
     import jax.numpy as jnp
+    from .. import context
     key = Path(video_path).stem
+    det_key = context.current_detector_name()
+    if context.current_detect_every() > 1:
+        det_key += f"-e{context.current_detect_every()}"
+    if det_key != "skin":
+        key = f"{key}.{det_key}"
     cache = CACHE_DIR / "roi_mean_data" / f"{key}.npz"
     if cache.exists():
         z = np.load(cache)
@@ -40,7 +48,10 @@ def _cached_green(video_path: str):
     frames, fps = vio.read_video(video_path)
     if frames.shape[0] == 0:
         return np.zeros(0, np.float32), np.zeros(0, bool), fps
-    trace = offline.extract_signals(jnp.asarray(frames))
+    trace = offline.extract_signals(
+        jnp.asarray(frames),
+        detector=context.current_detector(),
+        detect_every=context.current_detect_every())
     green = np.asarray(trace.bgr[:, 1])
     valid = np.asarray(trace.valid)
     cache.parent.mkdir(parents=True, exist_ok=True)

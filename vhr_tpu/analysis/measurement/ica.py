@@ -20,6 +20,9 @@ def measure(video_path: str) -> np.ndarray:
     frames, fps = vio.read_video(video_path)
     if frames.shape[0] == 0:
         return np.empty((0, 2))
-    ts, bpm, valid = offline.measure_ica(jnp.asarray(frames), fps,
-                                         PipelineConfig(), ICAConfig())
+    from .. import context
+    ts, bpm, valid = offline.measure_ica(
+        jnp.asarray(frames), fps, PipelineConfig(), ICAConfig(),
+        detector=context.current_detector(),
+        detect_every=context.current_detect_every())
     return offline.to_measurement_array(ts, bpm, valid)

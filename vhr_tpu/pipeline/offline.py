@@ -351,13 +351,15 @@ def _fill_invalid(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 def measure_green_avg(frames: jnp.ndarray, fps: float,
                       cfg: PipelineConfig = PipelineConfig(),
                       detector: Optional[DetectorFn] = None,
-                      use_pallas: bool = False) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                      use_pallas: bool = False,
+                      detect_every: int = 1) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The canonical green-channel measure (``green_avg.py:11-52``).
 
     Returns per-frame ``(timestamps, bpm, valid)`` arrays; see
     :func:`to_measurement_array` for the reference's (N, 2) contract.
     """
-    trace = extract_signals(frames, cfg, detector, use_pallas)
+    trace = extract_signals(frames, cfg, detector, use_pallas,
+                            detect_every=detect_every)
     green = _fill_invalid(trace.bgr[:, cfg.channel], trace.valid)
     rolling = vwin.rolling_bpm(
         green, fps, cfg.band,
@@ -375,7 +377,8 @@ def measure_projection(frames: jnp.ndarray, fps: float,
                        method: str = "pos",
                        cfg: PipelineConfig = PipelineConfig(),
                        detector: Optional[DetectorFn] = None,
-                       use_pallas: bool = False
+                       use_pallas: bool = False,
+                       detect_every: int = 1
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Chrominance-projection measures: ``method`` in {"chrom", "pos",
     "omit"}.
@@ -388,7 +391,8 @@ def measure_projection(frames: jnp.ndarray, fps: float,
     """
     from ..dsp.projections import chrom_pulse, omit_pulse, pos_pulse
 
-    trace = extract_signals(frames, cfg, detector, use_pallas)
+    trace = extract_signals(frames, cfg, detector, use_pallas,
+                            detect_every=detect_every)
     fn = {"chrom": chrom_pulse, "pos": pos_pulse,
           "omit": omit_pulse}[method]
     pulse = fn(trace.bgr, trace.valid, fps)
@@ -479,7 +483,8 @@ def measure_adaptive(frames: jnp.ndarray, fps: float,
                      detector: Optional[DetectorFn] = None,
                      use_pallas: bool = False,
                      methods: Tuple[str, ...] = ("green", "chrom",
-                                                 "pos", "omit")
+                                                 "pos", "omit"),
+                     detect_every: int = 1
                      ) -> AdaptiveResult:
     """Adaptive measurement: per-window SNR-ranked method selection.
 
@@ -489,7 +494,8 @@ def measure_adaptive(frames: jnp.ndarray, fps: float,
     see :func:`adaptive_pulse_select`.  ``AdaptiveResult.choice``/``snr``
     expose the selection for observability.
     """
-    trace = extract_signals(frames, cfg, detector, use_pallas)
+    trace = extract_signals(frames, cfg, detector, use_pallas,
+                            detect_every=detect_every)
     bpm, ok, choice, snr = adaptive_pulse_select(
         trace.bgr, trace.valid, fps, cfg, methods)
     T = frames.shape[0]
@@ -504,7 +510,8 @@ def measure_ica(frames: jnp.ndarray, fps: float,
                 cfg: PipelineConfig = PipelineConfig(),
                 icacfg: ICAConfig = ICAConfig(),
                 detector: Optional[DetectorFn] = None,
-                use_pallas: bool = False) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                use_pallas: bool = False,
+                detect_every: int = 1) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The ICA measure (``analysis/measurement/ica.py:14-78``).
 
     Per frame after acquisition: std-normalize the (window, 3) BGR means
@@ -512,7 +519,8 @@ def measure_ica(frames: jnp.ndarray, fps: float,
     best independent component's in-band FFT peak.  All windows solve as one
     vmapped batch instead of one sklearn fit per frame.
     """
-    trace = extract_signals(frames, cfg, detector, use_pallas)
+    trace = extract_signals(frames, cfg, detector, use_pallas,
+                            detect_every=detect_every)
     bgr = _fill_invalid(trace.bgr, trace.valid)             # (T, 3)
     T = frames.shape[0]
     window_len = int(icacfg.window_seconds * fps)
