@@ -26,7 +26,12 @@ from ...pipeline import offline
 
 WINDOW_SIZE = 30.0
 ACQUISITION_TIME = 10.0
-CACHE_DIR = Path(os.environ.get("VHR_CACHE_DIR", "cache"))
+
+
+def _cache_dir() -> Path:
+    """Read VHR_CACHE_DIR at call time (an import-time binding would pin
+    the first process-wide value and ignore later env changes)."""
+    return Path(os.environ.get("VHR_CACHE_DIR", "cache"))
 
 
 def _cached_green(video_path: str):
@@ -41,7 +46,7 @@ def _cached_green(video_path: str):
         det_key += f"-e{context.current_detect_every()}"
     if det_key != "skin":
         key = f"{key}.{det_key}"
-    cache = CACHE_DIR / "roi_mean_data" / f"{key}.npz"
+    cache = _cache_dir() / "roi_mean_data" / f"{key}.npz"
     if cache.exists():
         z = np.load(cache)
         return z["green"], z["valid"], float(z["fps"])
@@ -94,7 +99,8 @@ def measure(video_path: str) -> np.ndarray:
             f, p = spectral.welch_psd(
                 sig - jnp.mean(sig, -1, keepdims=True), fps, nperseg)
             stages[name] = np.asarray(p)
-        out = CACHE_DIR / "psd_stages" / f"{Path(video_path).stem}.npz"
+        out = (_cache_dir() / "psd_stages"
+               / f"{Path(video_path).stem}.npz")
         out.parent.mkdir(parents=True, exist_ok=True)
         np.savez(out, freqs=f, **stages)
 
