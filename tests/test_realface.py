@@ -196,3 +196,57 @@ def test_production_multiface_on_duo_real_photo(photo):
     assert bool(np.asarray(v).all())
     ious = _iou(np.asarray(b)[0], truth)
     assert (ious >= 0.9).all(), ious
+
+
+@pytest.mark.slow
+def test_mediapipe_pose_robust_roi(photo):
+    """The production pose-robust ROI (`make_mediapipe_roi_detector`,
+    cheek ratios applied in the eye-line-rolled face frame) must (a) agree
+    with the reference's bbox-ratio cheek ROI on an upright face and (b)
+    track the rotated cheek band under 20 deg roll where the bbox-ratio
+    ROI drifts."""
+    import cv2
+    from vhr_tpu.config import ROIConfig
+    from vhr_tpu.models.mediapipe_face import (make_mediapipe_detector,
+                                               make_mediapipe_roi_detector)
+    from vhr_tpu.ops.roi import cheek_roi
+
+    H0, W0 = 480, 640
+    ih, iw = photo.shape[:2]
+    s = min(380 / ih, 380 / iw)
+    small = cv2.resize(photo, (int(iw * s), int(ih * s)),
+                       interpolation=cv2.INTER_AREA)
+    canvas = np.full((H0, W0, 3), 90, np.uint8)
+    y0 = (H0 - small.shape[0]) // 2
+    x0 = (W0 - small.shape[1]) // 2
+    canvas[y0:y0 + small.shape[0], x0:x0 + small.shape[1]] = small
+
+    det = make_mediapipe_detector()
+    roi_det = make_mediapipe_roi_detector()
+    cfg = ROIConfig()
+
+    def centers(frame):
+        fr = jnp.asarray(frame[None])
+        boxes, rois, valid = roi_det(fr)
+        assert bool(np.asarray(valid)[0])
+        b, v = det(fr)
+        naive = np.asarray(cheek_roi(b, cfg, W0, H0))[0]
+        robust = np.asarray(rois)[0]
+        mid = lambda r: np.array([(r[0] + r[2]) / 2.0, (r[1] + r[3]) / 2.0])
+        return mid(naive), mid(robust)
+
+    n0, r0 = centers(canvas)
+    # (a) upright: both ROI constructions agree (same ratios, rot ~ 0).
+    assert np.linalg.norm(n0 - r0) < 12.0, (n0, r0)
+
+    # (b) rolled 20 deg: the true cheek center rotates with the image.
+    theta = 20.0
+    M = cv2.getRotationMatrix2D((W0 / 2, H0 / 2), theta, 1.0)
+    frame = cv2.warpAffine(canvas, M, (W0, H0), flags=cv2.INTER_LINEAR,
+                           borderValue=(90, 90, 90))
+    expect = M[:, :2] @ r0 + M[:, 2]
+    n1, r1 = centers(frame)
+    d_robust = np.linalg.norm(r1 - expect)
+    d_naive = np.linalg.norm(n1 - expect)
+    assert d_robust < d_naive, (d_robust, d_naive)
+    assert d_robust < 10.0, d_robust

@@ -39,8 +39,8 @@ import jax.numpy as jnp
 
 __all__ = ["blazeface_anchors", "load_face_models", "detect_faces_mp",
            "face_landmarks", "make_mediapipe_detector",
-           "make_mediapipe_detector_multi", "default_task_path",
-           "MediaPipeFaceParams"]
+           "make_mediapipe_detector_multi", "make_mediapipe_roi_detector",
+           "default_task_path", "MediaPipeFaceParams"]
 
 _MIN_DET_SCORE = 0.5          # TensorsToDetections min_score_thresh
 _NMS_IOU = 0.3                # min_suppression_threshold
@@ -491,6 +491,89 @@ def _detect_multi(params: MediaPipeFaceParams, det_apply, lm_apply,
     valid = jnp.take_along_axis(valid, order, axis=1)
     boxes = jnp.where(valid[..., None], boxes, 0)
     return boxes, valid
+
+
+def _rotated_cheek_roi(lm_px: jnp.ndarray, rot: jnp.ndarray,
+                       horizontal: float, top: float, bottom: float,
+                       W: int, H: int) -> jnp.ndarray:
+    """Cheek ROI carved in the face's OWN (rolled) frame.
+
+    The reference applies its cheek ratios to the axis-aligned landmark
+    min/max box (``analysis/utils/roi.py:53-59``), so under head roll the
+    interior rectangle drifts off the cheeks.  Here the same ratios are
+    applied in the frame defined by the detector's eye-line roll ``rot``
+    (the angle MediaPipe itself uses to orient the mesh crop): project
+    the landmark cloud into that frame, take its min/max box, carve the
+    ratio rectangle there, rotate the four corners back, and return their
+    axis-aligned bounding box — identical to the reference's ROI for an
+    upright face, tracking the rotated cheek band otherwise (the
+    production-weights counterpart of ``ops.roi.roi_from_landmarks``).
+
+    Args: ``lm_px (..., 478, 2)`` pixel landmarks, ``rot (...,)`` radians.
+    Returns ``(..., 4)`` int32 ``[x1, y1, x2, y2]``.
+    """
+    c, s = jnp.cos(rot), jnp.sin(rot)
+    # Rotate by -rot into the face frame.
+    px = lm_px[..., 0] * c[..., None] + lm_px[..., 1] * s[..., None]
+    py = -lm_px[..., 0] * s[..., None] + lm_px[..., 1] * c[..., None]
+    x1, x2 = jnp.min(px, axis=-1), jnp.max(px, axis=-1)
+    y1, y2 = jnp.min(py, axis=-1), jnp.max(py, axis=-1)
+    w, h = x2 - x1, y2 - y1
+    lx1 = x1 + horizontal * w
+    lx2 = x2 - horizontal * w
+    ly1 = y1 + top * h
+    ly2 = y1 + bottom * h
+    corners_local = jnp.stack(
+        [jnp.stack([lx1, ly1], -1), jnp.stack([lx2, ly1], -1),
+         jnp.stack([lx1, ly2], -1), jnp.stack([lx2, ly2], -1)], axis=-2)
+    # Rotate corners back into image coordinates (+rot).
+    qx = (corners_local[..., 0] * c[..., None]
+          - corners_local[..., 1] * s[..., None])
+    qy = (corners_local[..., 0] * s[..., None]
+          + corners_local[..., 1] * c[..., None])
+    rx1 = jnp.clip(jnp.min(qx, axis=-1).astype(jnp.int32), 0, W - 1)
+    ry1 = jnp.clip(jnp.min(qy, axis=-1).astype(jnp.int32), 0, H - 1)
+    rx2 = jnp.clip(jnp.max(qx, axis=-1).astype(jnp.int32), 0, W)
+    ry2 = jnp.clip(jnp.max(qy, axis=-1).astype(jnp.int32), 0, H)
+    return jnp.stack([rx1, ry1, rx2, ry2], axis=-1)
+
+
+def _detect_single_roi(params: MediaPipeFaceParams, det_apply, lm_apply,
+                       frames: jnp.ndarray, roi_ratios,
+                       crop_mode: str = "axis"):
+    T, H, W, _ = frames.shape
+    rects, _, det_ok = detect_faces_mp(params, det_apply, frames, k_faces=1)
+    lm_px, presence = face_landmarks(params, lm_apply, frames, rects,
+                                     crop_mode=crop_mode)
+    boxes = _landmarks_to_bbox(lm_px[:, 0], H, W)
+    horizontal, top, bottom = roi_ratios
+    rois = _rotated_cheek_roi(lm_px[:, 0], rects.rot[:, 0],
+                              horizontal, top, bottom, W, H)
+    valid = jnp.logical_and(det_ok[:, 0], presence[:, 0] >= _MIN_PRESENCE)
+    boxes = jnp.where(valid[:, None], boxes, 0)
+    rois = jnp.where(valid[:, None], rois, 0)
+    return boxes, rois, valid
+
+
+def make_mediapipe_roi_detector(task_path: Optional[str] = None,
+                                compute_dtype=None, crop_mode: str = "axis",
+                                roi_cfg=None):
+    """Pose-robust ROI variant of :func:`make_mediapipe_detector`:
+    ``frames -> (boxes (T, 4), rois (T, 4), valid (T,))`` — the
+    ``pipeline.offline.extract_signals_landmark_roi`` interface, with the
+    cheek ROI carved in the face's rolled frame (``_rotated_cheek_roi``)
+    instead of the axis-aligned bbox interior."""
+    from ..config import ROIConfig
+
+    roi_cfg = roi_cfg or ROIConfig()
+    ratios = (float(roi_cfg.cheek_horizontal), float(roi_cfg.cheek_top),
+              float(roi_cfg.cheek_bottom))
+    params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
+    fn = functools.partial(_detect_single_roi, det_apply=det_apply,
+                           lm_apply=lm_apply, roi_ratios=ratios,
+                           crop_mode=crop_mode)
+    return jax.tree_util.Partial(
+        lambda p, frames: fn(p, frames=frames), params)
 
 
 def make_mediapipe_detector(task_path: Optional[str] = None,
