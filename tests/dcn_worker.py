@@ -64,8 +64,36 @@ def main() -> int:
     np.testing.assert_allclose(bpm[lo:hi], np.asarray(ref.bpm),
                                rtol=0, atol=0)
 
+    # --- production-weights farm across the cluster ----------------------
+    # The ported MediaPipe detector as the multistream face stage: weights
+    # load from disk on EVERY host and ride the shard_map as replicated
+    # inputs; detection runs flat-batch per shard (parallel/streams.py).
+    mp_out = {}
+    from vhr_tpu.models.mediapipe_face import default_task_path
+    if os.path.exists(default_task_path()):
+        from vhr_tpu.models.mediapipe_face import make_mediapipe_detector
+        from vhr_tpu.utils import realface
+
+        det = make_mediapipe_detector()
+        rclip = realface.synthesize_real_face_clip(
+            bpm=72.0, fps=10.0, duration_s=2.0, scale=0.25, seed=0)
+        # Distinct per-stream brightness so streams are distinguishable.
+        rframes = np.stack([
+            np.clip(rclip.frames.astype(np.int16) + 2 * s, 0, 255)
+            .astype(np.uint8) for s in range(S)])
+        cfg_mp = PipelineConfig(window_seconds=0.8,
+                                acquisition_seconds=0.8)
+        g_mp = dcn.distribute_streams(rframes[lo:hi], mesh)
+        res_mp = multistream_green_bpm(g_mp, 10.0, mesh, cfg_mp,
+                                       detector=det)
+        green_mp = dcn.gather_streams(res_mp.green)
+        valid_mp = dcn.gather_streams(res_mp.valid)
+        assert valid_mp[:, -1].all(), "production farm must detect+estimate"
+        mp_out = {"mp_green_last": [round(float(x), 4)
+                                    for x in green_mp[:, -1]]}
+
     with open(os.path.join(outdir, f"ok_{process_id}.json"), "w") as f:
-        json.dump({"bpm_last": bpm[:, -1].tolist()}, f)
+        json.dump({"bpm_last": bpm[:, -1].tolist(), **mp_out}, f)
     return 0
 
 

@@ -53,3 +53,8 @@ def test_two_process_stream_farm(tmp_path):
     r1 = json.load(open(tmp_path / "ok_1.json"))
     assert r0["bpm_last"] == r1["bpm_last"]
     assert len(r0["bpm_last"]) == 8
+    # production-weights farm stage (runs when the .task asset exists):
+    # identical allgathered greens on both hosts, all 8 streams tracked.
+    if "mp_green_last" in r0:
+        assert r0["mp_green_last"] == r1["mp_green_last"]
+        assert len(r0["mp_green_last"]) == 8
