@@ -25,6 +25,14 @@ Reference consumers: ``/root/reference/analysis/utils/roi.py:70-110``
 TPU-first shape: all T frames run the conv nets as one batch (MXU), the
 per-frame NMS/crop logic is vmapped, and the whole detector is exposed as
 a ``jax.tree_util.Partial`` so weights stay traced arguments.
+
+Crop modes: ``crop_mode="axis"`` (default) samples the mesh-net crop
+axis-aligned as two separable interp-matrix MXU products
+(:func:`_crop_axis_mxu` — ~10x pipeline throughput; <1 px landmark delta
+at 10 deg roll, docs/DETECTION.md); ``"exact"`` keeps MediaPipe's rotated
+bilinear sampling via the packed-tap gather.  The detector's eye-line
+roll is still used by :func:`make_mediapipe_roi_detector` to carve
+pose-robust cheek ROIs in the rolled face frame.
 """
 
 from __future__ import annotations
