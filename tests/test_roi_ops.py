@@ -370,3 +370,32 @@ def test_streaming_detect_every_matches_whole_video():
     with _pytest.raises(ValueError):
         offline.extract_signals_streaming(path, chunk_frames=10,
                                           detect_every=4)
+
+
+def test_landmark_roi_detect_every_cadence():
+    """The pose-robust (boxes, rois, valid) path honors detect_every with
+    cadence-4 output equal to cadence-1 under stable detection."""
+    import jax.numpy as jnp
+    from vhr_tpu.pipeline import offline
+
+    T, H, W = 13, 24, 32
+    rng = np.random.default_rng(6)
+    frames = jnp.asarray(rng.integers(0, 256, (T, H, W, 3), dtype=np.uint8))
+    box = jnp.asarray([4, 4, 28, 20], jnp.int32)
+    roi = jnp.asarray([8, 8, 24, 16], jnp.int32)
+
+    calls = {}
+
+    def det(fr):
+        calls["n"] = fr.shape[0]
+        n = fr.shape[0]
+        return (jnp.broadcast_to(box, (n, 4)),
+                jnp.broadcast_to(roi, (n, 4)), jnp.ones((n,), bool))
+
+    t1 = offline.extract_signals_landmark_roi(frames, det)
+    t4 = offline.extract_signals_landmark_roi(frames, det, detect_every=4)
+    assert calls["n"] == 4
+    np.testing.assert_array_equal(np.asarray(t4.valid), np.asarray(t1.valid))
+    np.testing.assert_array_equal(np.asarray(t4.rois), np.asarray(t1.rois))
+    np.testing.assert_allclose(np.asarray(t4.bgr), np.asarray(t1.bgr),
+                               rtol=0, atol=1e-5)

@@ -197,13 +197,28 @@ def extract_signals_fused(frames: jnp.ndarray,
                        boxes=res.boxes)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "det_fn"))
-def _extract_signals_lmroi_jit(frames, det_args, cfg, det_fn):
-    boxes, rois_raw, valid = det_fn(*det_args, frames)
-    track_box = vroi.holdover(boxes, valid, cfg.roi.landmark_hold_frames)
+@functools.partial(jax.jit, static_argnames=("cfg", "det_fn",
+                                             "detect_every"))
+def _extract_signals_lmroi_jit(frames, det_args, cfg, det_fn,
+                               detect_every=1):
+    T = frames.shape[0]
+    if detect_every > 1:
+        sub = frames[::detect_every]
+        b_sub, r_sub, v_sub = det_fn(*det_args, sub)
+        idx = jnp.arange(0, T, detect_every)
+        boxes = jnp.zeros((T, 4), b_sub.dtype).at[idx].set(b_sub)
+        rois_raw = jnp.zeros((T, 4), r_sub.dtype).at[idx].set(r_sub)
+        valid = jnp.zeros((T,), bool).at[idx].set(v_sub)
+        attempted = jnp.zeros((T,), bool).at[idx].set(True)
+    else:
+        boxes, rois_raw, valid = det_fn(*det_args, frames)
+        attempted = None
+    track_box = vroi.holdover(boxes, valid, cfg.roi.landmark_hold_frames,
+                              attempted=attempted)
     # The pose-robust ROI rect rides the SAME holdover scan as the box (a
     # stale cloud's ROI is reused for <=15 frames, roi.py:91-95 rule).
-    track_roi = vroi.holdover(rois_raw, valid, cfg.roi.landmark_hold_frames)
+    track_roi = vroi.holdover(rois_raw, valid, cfg.roi.landmark_hold_frames,
+                              attempted=attempted)
     rois = jnp.where(track_roi.valid[:, None], track_roi.box, 0)
     means, _ = vreduce.roi_channel_means(frames, rois)
     return SignalTrace(bgr=means, valid=track_roi.valid, rois=rois,
@@ -211,22 +226,28 @@ def _extract_signals_lmroi_jit(frames, det_args, cfg, det_fn):
 
 
 def extract_signals_landmark_roi(frames: jnp.ndarray, detector,
-                                 cfg: PipelineConfig = PipelineConfig()
+                                 cfg: PipelineConfig = PipelineConfig(),
+                                 detect_every: int = 1
                                  ) -> SignalTrace:
     """Pose-robust :func:`extract_signals`: cheek ROIs carved out of the
     landmark cloud's own (rotated) frame instead of bbox interior ratios.
 
     ``detector`` maps ``frames -> (boxes, rois, valid)`` — build one with
-    ``models.landmarker.make_roi_detector`` (weights arrive as a traced
-    ``jax.tree_util.Partial``).  Exceeds the reference, which only ever uses
-    the landmark min/max box (``rppg_VIDEO.py:93-103``).
+    ``models.landmarker.make_roi_detector`` or
+    ``models.mediapipe_face.make_mediapipe_roi_detector`` (weights arrive
+    as a traced ``jax.tree_util.Partial``).  Exceeds the reference, which
+    only ever uses the landmark min/max box (``rppg_VIDEO.py:93-103``).
+    ``detect_every`` is the same detection cadence as
+    :func:`extract_signals` (both the box and ROI tracks hold through
+    not-attempted frames without draining the failure budget).
     """
     if isinstance(detector, jax.tree_util.Partial):
         det_fn, det_args = detector.func, tuple(detector.args)
     else:
         det_fn, det_args = detector, ()
     return _extract_signals_lmroi_jit(frames, det_args, cfg=cfg,
-                                      det_fn=det_fn)
+                                      det_fn=det_fn,
+                                      detect_every=detect_every)
 
 
 @functools.partial(jax.jit,
