@@ -508,35 +508,49 @@ def bench_decode_e2e(clip_seconds: float = 15.0) -> dict:
                 dt = time.perf_counter() - t0
             entry[f"decode_only_fps_n{n_dec}"] = round(n / dt, 1)
 
-        # (2) decode + host->device copy, no compute.
-        with native.NativeVideoReader(path, chunk_frames=64) as r:
-            t0 = time.perf_counter()
-            n = 0
-            for c in r:
-                jax.block_until_ready(jnp.asarray(c))
-                n += c.shape[0]
-            dt = time.perf_counter() - t0
-        entry["decode_plus_h2d_fps"] = round(n / dt, 1)
+        # (2) decode + host->device copy, no compute — BGR (3 B/px) vs the
+        # planar I420 staging mode (1.5 B/px): the transfer link is the
+        # measured bottleneck, so halving-and-halving the bytes is the lever.
+        for fmt in ("bgr", "i420"):
+            with native.NativeVideoReader(path, chunk_frames=64,
+                                          fmt=fmt) as r:
+                t0 = time.perf_counter()
+                n = 0
+                for c in r:
+                    jax.block_until_ready(jnp.asarray(c))
+                    n += c.shape[0]
+                dt = time.perf_counter() - t0
+            key = ("decode_plus_h2d_fps" if fmt == "bgr"
+                   else "decode_plus_h2d_fps_i420")
+            entry[key] = round(n / dt, 1)
 
-        # (3) fused end-to-end (decode overlapped with device compute).
+        # (3) fused end-to-end (decode overlapped with device compute),
+        # both staging formats (i420 reconstructs BGR on device, bit-exact
+        # vs OpenCV — ops/color.py::i420_to_bgr_flat).
         cfg = PipelineConfig(window_seconds=5.0, acquisition_seconds=2.0)
-        stats: dict = {}
-        t0 = time.perf_counter()
-        bgr, valid, fps = offline.extract_signals_streaming(
-            path, cfg, chunk_frames=64, ring_stats=stats, n_decoders=2)
-        dt = time.perf_counter() - t0
-        entry["e2e_fps"] = round(bgr.shape[0] / dt, 1)
-        entry["frames"] = int(bgr.shape[0])
-        entry["staging_ring"] = stats
+        for fmt in ("bgr", "i420"):
+            stats: dict = {}
+            t0 = time.perf_counter()
+            bgr, valid, fps = offline.extract_signals_streaming(
+                path, cfg, chunk_frames=64, ring_stats=stats, n_decoders=2,
+                transfer=fmt)
+            dt = time.perf_counter() - t0
+            key = "e2e_fps" if fmt == "bgr" else "e2e_fps_i420"
+            entry[key] = round(bgr.shape[0] / dt, 1)
+            if fmt == "bgr":
+                entry["frames"] = int(bgr.shape[0])
+                entry["staging_ring"] = stats
         out["codecs"][codec] = entry
 
     out["value"] = next(iter(out["codecs"].values())).get("e2e_fps", 0.0)
     out["note"] = (
         "decode_only vs decode_plus_h2d vs e2e localizes the bottleneck; "
         "on this harness the host->device link is the remote relay's "
-        "network tunnel (~6 MB/frame), which real TPU hosts replace with "
-        "PCIe.  n_decoders=4 shows the segment-parallel decode path; a "
-        "1-core host cannot show a speedup from it.")
+        "network tunnel (~6 MB/frame BGR), which real TPU hosts replace "
+        "with PCIe.  The *_i420 rows stage planar YUV 4:2:0 (1.5 B/px, 4x "
+        "less traffic) and reconstruct BGR on device bit-exactly vs OpenCV."
+        "  n_decoders=4 shows the segment-parallel decode path; a 1-core "
+        "host cannot show a speedup from it.")
     return out
 
 

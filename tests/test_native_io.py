@@ -80,3 +80,69 @@ def test_parallel_decode_stats(clip_file):
         st = r.stats()
     assert n == 120
     assert st["produced"] == st["consumed"] == 8
+
+
+def test_i420_staging_bit_exact_vs_cv2(clip_file):
+    """fmt="i420" stages exactly cv2's BGR2YUV_I420 bytes, and the device
+    reconstruction (ops.color.i420_to_bgr_flat) is bit-exact vs cv2's own
+    YUV2BGR_I420 of those bytes (studio-swing BT.601 fixed point)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from vhr_tpu.ops import color
+
+    with native.NativeVideoReader(clip_file["path"], chunk_frames=32) as r:
+        bgr = np.concatenate([c[:, :, :r.width] for c in r])
+        H, W, wpad = r.height, r.width, r.padded_width
+    with native.NativeVideoReader(clip_file["path"], chunk_frames=32,
+                                  fmt="i420") as r:
+        assert r.frame_stride % 128 == 0
+        raw = np.concatenate(list(r))
+    assert raw.shape == (bgr.shape[0], r.frame_stride)
+    payload = H * W * 3 // 2
+    assert np.all(raw[:, payload:] == 0)  # zero stride padding
+
+    # staged bytes == cv2's forward conversion of the decoded BGR frames
+    for i in range(0, bgr.shape[0], 37):
+        fwd = cv2.cvtColor(bgr[i], cv2.COLOR_BGR2YUV_I420)
+        np.testing.assert_array_equal(raw[i, :payload],
+                                      fwd.reshape(-1))
+
+    # device reconstruction == cv2's inverse, bit for bit
+    dev = np.asarray(color.i420_to_bgr_flat(jnp.asarray(raw), H, W, wpad))
+    dev = dev.reshape(-1, H, wpad, 3)
+    assert np.all(dev[:, :, W:] == 0)     # zero column padding
+    for i in range(0, bgr.shape[0], 37):
+        ref = cv2.cvtColor(raw[i, :payload].reshape(H * 3 // 2, W),
+                           cv2.COLOR_YUV2BGR_I420)
+        np.testing.assert_array_equal(dev[i, :, :W], ref)
+
+
+def test_i420_streaming_pipeline_equivalence(clip_file):
+    """extract_signals_streaming(transfer="i420") tracks identically to BGR
+    staging and its ROI means sit within the chroma-subsample loss bound;
+    the recovered BPM is unchanged (the 4:2:0 loss is spatial, averaged out
+    by the ROI mean and removed by the bandpass)."""
+    from vhr_tpu.config import PipelineConfig
+    from vhr_tpu.pipeline import offline
+
+    cfg = PipelineConfig(window_seconds=2.0, acquisition_seconds=1.0)
+    a, va, fps = offline.extract_signals_streaming(
+        clip_file["path"], cfg, chunk_frames=32)
+    b, vb, _ = offline.extract_signals_streaming(
+        clip_file["path"], cfg, chunk_frames=32, transfer="i420")
+    np.testing.assert_array_equal(va, vb)
+    assert float(np.abs(a - b).max()) < 1.5
+
+    import jax.numpy as jnp
+
+    from vhr_tpu.ops import windows as vwin
+
+    def bpm_of(means, valid):
+        g = jnp.asarray(np.where(valid, means[:, 1], 0.0), jnp.float32)
+        res = vwin.rolling_bpm_fft(g, fps, cfg.band,
+                                   int(cfg.window_seconds * fps),
+                                   int(cfg.acquisition_seconds * fps))
+        return np.asarray(res.bpm)[np.asarray(res.valid)]
+
+    np.testing.assert_allclose(bpm_of(a, va), bpm_of(b, vb), atol=1.0)

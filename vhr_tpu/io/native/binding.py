@@ -27,14 +27,17 @@ _build_error: Optional[str] = None
 
 
 def build(force: bool = False) -> bool:
-    """Compile the shared library if needed; returns success."""
+    """Compile the shared library if needed (source newer than the .so
+    triggers a rebuild — the C ABI may have changed); returns success."""
     global _build_error
-    if _LIB.exists() and not force:
+    if (_LIB.exists() and not force
+            and _LIB.stat().st_mtime >= _SRC.stat().st_mtime):
         return True
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            str(_SRC), "-o", str(_LIB),
            "-I/usr/include/opencv4",
-           "-lopencv_core", "-lopencv_videoio", "-lpthread"]
+           "-lopencv_core", "-lopencv_imgproc", "-lopencv_videoio",
+           "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
         return True
@@ -53,7 +56,7 @@ def _load():
         lib = ctypes.CDLL(str(_LIB))
         lib.vhr_open.restype = ctypes.c_int64
         lib.vhr_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                                 ctypes.c_int]
+                                 ctypes.c_int, ctypes.c_int]
         lib.vhr_meta.restype = ctypes.c_int
         lib.vhr_meta.argtypes = [ctypes.c_int64,
                                  ctypes.POINTER(ctypes.c_double)]
@@ -95,16 +98,27 @@ class NativeVideoReader:
     """
 
     def __init__(self, path: str, chunk_frames: int = 256,
-                 pad_row_to: int = 128, n_decoders: int = 1):
+                 pad_row_to: int = 128, n_decoders: int = 1,
+                 fmt: str = "bgr"):
         """``n_decoders > 1`` decodes disjoint chunk-aligned segments in
         parallel (one private VideoCapture per worker, seeked to its
         segment), re-serialized in order through a sliding-window buffer —
         SURVEY §7 risk (b): parallel decoder instances so 500 fps of 1080p
         decode does not starve the chip.  Falls back to one worker when the
-        container reports no frame count (live streams)."""
+        container reports no frame count (live streams).
+
+        ``fmt="i420"`` stages planar YUV 4:2:0 instead of interleaved BGR —
+        1.5 B/px, so host->device transfer (the e2e bottleneck on
+        network-attached chips) drops 4x; chunks arrive as
+        ``(n, frame_stride)`` uint8 and ``ops.color.i420_to_bgr_flat``
+        reconstructs BGR on device bit-exactly vs OpenCV."""
+        if fmt not in ("bgr", "i420"):
+            raise ValueError(f"fmt must be 'bgr' or 'i420', got {fmt!r}")
+        self.fmt = fmt
         self._lib = _load()
         self._h = self._lib.vhr_open(str(path).encode(), chunk_frames,
-                                     pad_row_to, n_decoders)
+                                     pad_row_to, n_decoders,
+                                     1 if fmt == "i420" else 0)
         if self._h == 0:
             raise IOError(f"native open failed: {path}")
         meta = (ctypes.c_double * 5)()
@@ -113,12 +127,21 @@ class NativeVideoReader:
         self.height = int(meta[1])
         self.fps = float(meta[2])
         self.frame_count = int(meta[3])
-        self.padded_width = int(meta[4])
+        if fmt == "i420":
+            self.frame_stride = int(meta[4])  # staged bytes per frame
+            self.padded_width = self.width
+        else:
+            self.padded_width = int(meta[4])
         self.chunk_frames = chunk_frames
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        row = self.padded_width * 3
-        buf = np.empty((self.chunk_frames, self.height, row), np.uint8)
+        """Yields ``(n, H, W_pad, 3)`` BGR chunks, or ``(n, frame_stride)``
+        planar-I420 byte chunks when ``fmt="i420"``."""
+        if self.fmt == "i420":
+            buf = np.empty((self.chunk_frames, self.frame_stride), np.uint8)
+        else:
+            row = self.padded_width * 3
+            buf = np.empty((self.chunk_frames, self.height, row), np.uint8)
         ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         while True:
             n = self._lib.vhr_next_chunk(self._h, ptr, buf.nbytes)
@@ -126,8 +149,11 @@ class NativeVideoReader:
                 raise IOError(f"native read error {n}")
             if n == 0:
                 return
-            yield (buf[:n].reshape(n, self.height, self.padded_width, 3)
-                   .copy())
+            if self.fmt == "i420":
+                yield buf[:n].copy()
+            else:
+                yield (buf[:n].reshape(n, self.height, self.padded_width, 3)
+                       .copy())
 
     def stats(self) -> dict:
         """Staging-ring occupancy counters: who stalled on whom.

@@ -9,8 +9,15 @@
 // the Pallas ROI kernel's DMA alignment.
 //
 // C ABI (consumed from Python via ctypes — no pybind11 in this image):
-//   vhr_open(path, chunk_frames, pad_row_to, n_decoders) -> handle (>0) or 0
-//   vhr_meta(handle, out[5])                  -> width,height,fps,count,ok
+//   vhr_open(path, chunk_frames, pad_row_to, n_decoders, format)
+//       -> handle (>0) or 0; format 0 = interleaved BGR rows (row-padded),
+//          format 1 = planar YUV I420 (1.5 B/px, frame-stride padded) — the
+//          low-bandwidth staging mode: host->device transfer is the e2e
+//          bottleneck on network-attached chips (BENCH_DETAIL decode_e2e),
+//          and I420 carries the same video in 4x less traffic; the device
+//          reconstructs BGR bit-exactly vs OpenCV (ops/color.py::i420_to_bgr)
+//   vhr_meta(handle, out[5])                  -> width,height,fps,count,
+//                                                padded_width | frame_stride
 //   vhr_next_chunk(handle, buf, buf_bytes)    -> frames filled (0 = EOF)
 //   vhr_close(handle)
 //   vhr_writer_open(path, w, h, fps, fourcc)  -> handle
@@ -39,18 +46,21 @@
 #include <vector>
 
 #include <opencv2/core.hpp>
+#include <opencv2/imgproc.hpp>
 #include <opencv2/videoio.hpp>
 
 namespace {
 
 struct Chunk {
-  std::vector<uint8_t> data;  // (n, H, Wpad*3)
+  std::vector<uint8_t> data;  // (n, H, Wpad*3) or (n, frame_stride) for I420
   int n = 0;
 };
 
 struct Reader {
   std::string path;
   int width = 0, height = 0, row_bytes = 0, pad_row_bytes = 0;
+  int format = 0;           // 0 = BGR rows, 1 = planar I420
+  size_t frame_bytes = 0;   // bytes staged per frame (incl. padding)
   double fps = 0.0;
   int frame_count = 0;
   int chunk_frames = 0;
@@ -126,23 +136,33 @@ struct Reader {
       cv_empty.notify_all();
       return;
     }
-    cv::Mat frame;
+    cv::Mat frame, i420;
     for (int64_t c = c0; c < c1; ++c) {
       auto chunk = std::make_unique<Chunk>();
-      chunk->data.resize(static_cast<size_t>(chunk_frames) * height *
-                         pad_row_bytes);
+      chunk->data.resize(static_cast<size_t>(chunk_frames) * frame_bytes);
       int n = 0;
       while (n < chunk_frames) {
         if (!cap.read(frame)) break;
         uint8_t* dst = chunk->data.data() +
-                       static_cast<size_t>(n) * height * pad_row_bytes;
-        for (int y = 0; y < height; ++y) {
-          std::memcpy(dst + static_cast<size_t>(y) * pad_row_bytes,
-                      frame.ptr(y), row_bytes);
-          if (pad_row_bytes > row_bytes)
-            std::memset(
-                dst + static_cast<size_t>(y) * pad_row_bytes + row_bytes, 0,
-                pad_row_bytes - row_bytes);
+                       static_cast<size_t>(n) * frame_bytes;
+        if (format == 1) {
+          // Planar I420 staging: (H*3/2, W) contiguous, zero-padded to the
+          // 128-aligned frame stride.  cvtColor runs on the decode worker so
+          // the conversion overlaps device compute like decode does.
+          cv::cvtColor(frame, i420, cv::COLOR_BGR2YUV_I420);
+          size_t payload = static_cast<size_t>(height) * 3 / 2 * width;
+          std::memcpy(dst, i420.ptr(0), payload);
+          if (frame_bytes > payload)
+            std::memset(dst + payload, 0, frame_bytes - payload);
+        } else {
+          for (int y = 0; y < height; ++y) {
+            std::memcpy(dst + static_cast<size_t>(y) * pad_row_bytes,
+                        frame.ptr(y), row_bytes);
+            if (pad_row_bytes > row_bytes)
+              std::memset(
+                  dst + static_cast<size_t>(y) * pad_row_bytes + row_bytes, 0,
+                  pad_row_bytes - row_bytes);
+          }
         }
         ++n;
       }
@@ -183,7 +203,7 @@ std::shared_ptr<T> lookup(std::unordered_map<int64_t, std::shared_ptr<T>>& m,
 extern "C" {
 
 int64_t vhr_open(const char* path, int chunk_frames, int pad_row_to,
-                 int n_decoders) {
+                 int n_decoders, int format) {
   auto r = std::make_shared<Reader>();
   r->path = path;
   {
@@ -194,16 +214,26 @@ int64_t vhr_open(const char* path, int chunk_frames, int pad_row_to,
     r->fps = probe.get(cv::CAP_PROP_FPS);
     r->frame_count = static_cast<int>(probe.get(cv::CAP_PROP_FRAME_COUNT));
   }
+  // I420 chroma subsampling needs even dimensions; refuse rather than crop.
+  if (format == 1 && (r->width % 2 || r->height % 2)) return 0;
+  r->format = format == 1 ? 1 : 0;
   r->chunk_frames = chunk_frames > 0 ? chunk_frames : 256;
   r->row_bytes = r->width * 3;
   r->pad_row_bytes = r->row_bytes;
-  if (pad_row_to > 1) {
+  if (pad_row_to > 1 && r->format == 0) {
     // Pad rows to a multiple of both pad_row_to (DMA lane alignment) and 3
     // (whole BGR pixels), so chunks reshape to (n, H, W_pad, 3) exactly.
     int64_t L = pad_row_to;
     while (L % 3) L += pad_row_to;
     int64_t rem = r->row_bytes % L;
     if (rem) r->pad_row_bytes = r->row_bytes + static_cast<int>(L - rem);
+  }
+  if (r->format == 1) {
+    size_t payload = static_cast<size_t>(r->height) * 3 / 2 * r->width;
+    size_t align = pad_row_to > 1 ? static_cast<size_t>(pad_row_to) : 1;
+    r->frame_bytes = (payload + align - 1) / align * align;
+  } else {
+    r->frame_bytes = static_cast<size_t>(r->height) * r->pad_row_bytes;
   }
   // Segment-parallel decode needs a trustworthy frame count to carve
   // chunk-aligned segments; unknown-length streams fall back to 1 worker.
@@ -237,7 +267,9 @@ int vhr_meta(int64_t handle, double* out5) {
   out5[1] = r->height;
   out5[2] = r->fps;
   out5[3] = r->frame_count;
-  out5[4] = r->pad_row_bytes / 3.0;  // padded width in pixels
+  // BGR: padded width in pixels; I420: staged frame stride in bytes.
+  out5[4] = r->format == 1 ? static_cast<double>(r->frame_bytes)
+                           : r->pad_row_bytes / 3.0;
   return 1;
 }
 
@@ -272,7 +304,7 @@ int vhr_next_chunk(int64_t handle, uint8_t* buf, int64_t buf_bytes) {
     ++r->consumed;
   }
   r->cv_full.notify_all();
-  int64_t need = static_cast<int64_t>(chunk->n) * r->height * r->pad_row_bytes;
+  int64_t need = static_cast<int64_t>(chunk->n) * r->frame_bytes;
   if (need > buf_bytes) return -2;
   std::memcpy(buf, chunk->data.data(), need);
   return chunk->n;

@@ -661,7 +661,8 @@ def extract_signals_streaming(video_path: str,
                               gate_margin: Optional[float] = None,
                               ring_stats: Optional[dict] = None,
                               n_decoders: int = 1,
-                              detect_every: int = 1):
+                              detect_every: int = 1,
+                              transfer: str = "bgr"):
     """Chunked-decode signal extraction for long recordings.
 
     The reference eagerly reads whole videos into RAM
@@ -688,6 +689,13 @@ def extract_signals_streaming(video_path: str,
     cadence of :func:`extract_signals` across chunk boundaries: every
     chunk starts on a detection frame, holdover tracks through the rest
     without draining the failure budget.
+
+    ``transfer="i420"`` stages planar YUV 4:2:0 from the native decoder
+    (1.5 B/px) and reconstructs BGR on device (bit-exact vs OpenCV,
+    ``ops.color.i420_to_bgr_flat``) — a 4x cut in host->device traffic,
+    the measured decode->BPM bottleneck on network-attached chips
+    (BENCH_DETAIL decode_e2e).  Requires the native reader and even frame
+    dimensions; falls back to BGR staging otherwise.
     """
     import jax
 
@@ -705,16 +713,41 @@ def extract_signals_streaming(video_path: str,
         raise ValueError("detect_every must divide chunk_frames")
     det_fn, det_args = _split_detector(detector)
 
+    if transfer not in ("bgr", "i420"):
+        raise ValueError(f"transfer must be 'bgr' or 'i420', got {transfer!r}")
     reader = None
     if prefer_native:
         try:
             from ..io import native
             if native.is_available():
-                reader = native.NativeVideoReader(video_path,
-                                                  chunk_frames=chunk_frames,
-                                                  n_decoders=n_decoders)
+                try:
+                    reader = native.NativeVideoReader(
+                        video_path, chunk_frames=chunk_frames,
+                        n_decoders=n_decoders, fmt=transfer)
+                except IOError:
+                    if transfer != "i420":
+                        raise
+                    # odd dimensions: I420 refused — stage BGR instead
+                    transfer = "bgr"
+                    reader = native.NativeVideoReader(
+                        video_path, chunk_frames=chunk_frames,
+                        n_decoders=n_decoders)
         except Exception:
             reader = None
+    if reader is None:
+        transfer = "bgr"      # cv2 fallback reader yields BGR chunks
+
+    if transfer == "i420":
+        from ..ops import color as vcolor
+        _h, _w = reader.height, reader.width
+        _wpad = -(-_w // 128) * 128  # (wpad*3) % 128 == 0 for the kernels
+
+        def _to_flat_bgr(raw):
+            # Device-side planar->interleaved reconstruction; the padded
+            # zero columns match the BGR staging path's row padding.
+            return vcolor.i420_to_bgr_flat(raw, _h, _w, _wpad)
+    else:
+        _to_flat_bgr = None
 
     if use_fused:
         from ..ops.pallas_fused import fused_detect_roi_carry, init_carry
@@ -725,7 +758,12 @@ def extract_signals_streaming(video_path: str,
         def chunk_step(frames_flat, _unused, state):
             # frames_flat is the host-flattened (T, H, W*3) chunk — fed to
             # the kernel as-is (no in-jit 4D reshape copy at the custom
-            # call; docs/PERFORMANCE.md rule 2).
+            # call; docs/PERFORMANCE.md rule 2).  In i420 mode it is the
+            # raw (T, stride) planar staging buffer; the reconstruction's
+            # output is a computed value, so XLA lays it out to satisfy the
+            # custom call directly (no extra copy).
+            if _to_flat_bgr is not None:
+                frames_flat = _to_flat_bgr(frames_flat)
             fcarry, phase = state
             res, fcarry = fused_detect_roi_carry(
                 frames_flat, fcarry, roi=cfg.roi,
@@ -747,6 +785,8 @@ def extract_signals_streaming(video_path: str,
 
         @jax.jit
         def chunk_step(frames_flat, det_args, carry):
+            if _to_flat_bgr is not None:
+                frames_flat = _to_flat_bgr(frames_flat)
             T, H, WC = frames_flat.shape
             W = WC // 3
             frames = frames_flat.reshape(T, H, W, 3)
@@ -783,6 +823,8 @@ def extract_signals_streaming(video_path: str,
     # both the fused kernel and the batched ROI kernel take (T, H, W*3)
     # directly, so no in-jit reshape copy at the custom-call boundary.
     def prep(c):
+        if c.ndim == 2:       # i420 staging buffer: ship bytes as-is
+            return jnp.asarray(c)
         return jnp.asarray(c.reshape(c.shape[0], c.shape[1], -1))
 
     bgr_parts, valid_parts = [], []
