@@ -210,6 +210,27 @@ def bench_live_latency() -> dict:
     pipe.flush()
     p50_pipelined = float(np.percentile(lats_p, 50))
 
+    # Host-origin frames (the true serving shape: the camera frame crosses
+    # the host->device link every step).  BGR ships 3 B/px; transfer="i420"
+    # ships planar YUV 4:2:0 (1.5 B/px, reconstructed on device bit-exactly
+    # vs OpenCV) — on bandwidth-limited links the wire cost halves.
+    host_frames = np.asarray(frames)
+    host_rows = {}
+    for mode in ("bgr", "i420"):
+        pipe_h = live.LivePipeline(cfg, donate=True, transfer=mode)
+        feed = (lambda f: jnp.asarray(live.bgr_to_i420_host(f))) \
+            if mode == "i420" else (lambda f: jnp.asarray(f))
+        pipe_h.submit(feed(host_frames[0]))
+        lats_h = []
+        for i in range(1, K):
+            t0 = time.perf_counter()
+            out = pipe_h.submit(feed(host_frames[i]))
+            float(out.bpm)
+            lats_h.append((time.perf_counter() - t0) * 1e3)
+        pipe_h.flush()
+        host_rows[f"p50_pipelined_hostframe_{mode}"] = round(
+            float(np.percentile(lats_h, 50)), 2)
+
     # Scan-amortized device compute per frame (one dispatch, K steps).
     @jax.jit
     def run(state, frames, seed):
@@ -260,6 +281,7 @@ def bench_live_latency() -> dict:
         "metric": "live_720p_step_latency_ms",
         "p50_sequential_incl_relay_rtt": round(p50_rtt, 2),
         "p50_pipelined_incl_relay_rtt": round(p50_pipelined, 2),
+        **host_rows,
         "device_compute_per_frame_amortized": round(per_frame_ms, 3),
         "device_compute_per_frame_fused_gated": round(fused_ms, 3),
         "unit": "ms",

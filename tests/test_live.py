@@ -341,3 +341,34 @@ def test_live_multi_detect_every_cadence():
                          np.asarray(out.box).tolist()))
         outs[every] = rows
     assert outs[1] == outs[4]
+
+
+def test_live_i420_transfer_matches_bgr(clip):
+    """transfer="i420" (host ships planar YUV 4:2:0, device reconstructs
+    BGR bit-exactly vs OpenCV) tracks identically to BGR staging; the green
+    means differ only by the 4:2:0 chroma-subsample loss."""
+    cv2 = pytest.importorskip("cv2")
+    cfg = live.LiveConfig(fps=clip.fps, ring_len=64)
+    n = 30
+
+    sb = live.make_step(cfg, donate=False)
+    si = live.make_step(cfg, donate=False, transfer="i420")
+    stb, sti = live.init_state(cfg), live.init_state(cfg)
+    gb, gi = [], []
+    for f in clip.frames[:n]:
+        stb, ob = sb(stb, jnp.asarray(f))
+        sti, oi = si(sti, jnp.asarray(live.bgr_to_i420_host(f)))
+        assert bool(ob.face_valid) == bool(oi.face_valid)
+        gb.append(float(ob.green_raw))
+        gi.append(float(oi.green_raw))
+    assert float(np.abs(np.array(gb) - np.array(gi)).max()) < 1.5
+
+    # the pipelined loop accepts the same planar frames
+    pipe = live.LivePipeline(cfg, donate=False, transfer="i420")
+    outs = []
+    for f in clip.frames[:n]:
+        out = pipe.submit(jnp.asarray(live.bgr_to_i420_host(f)))
+        if out is not None:
+            outs.append(float(out.green_raw))
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(gi[:n - 1]),
+                               atol=1e-5)

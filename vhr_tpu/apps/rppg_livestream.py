@@ -28,7 +28,8 @@ import numpy as np
 
 
 def run(source, cfg, max_frames=None, display=True, k_faces=1,
-        detector=None, pipelined=True, plot=False, plot_out=None) -> int:
+        detector=None, pipelined=True, plot=False, plot_out=None,
+        transfer="bgr") -> int:
     import cv2
     import jax.numpy as jnp
 
@@ -54,7 +55,7 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
     # answer lag (the reference's async detector has the same lag,
     # rppg_LIVESTREAM.py:335-341).  ``pipelined=False`` syncs every frame.
     pipe = live.LivePipeline(cfg, detector=detector, k_faces=k_faces,
-                             donate=False)
+                             donate=False, transfer=transfer)
 
     paused = False
     n = 0
@@ -65,7 +66,12 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
             if not ret:
                 print("End of stream reached.")
                 break
-            out = pipe.submit(jnp.asarray(frame))
+            if transfer == "i420":
+                # Host cvtColor (cv2's SIMD path) halves the bytes shipped
+                # to the device; BGR is reconstructed on device bit-exactly.
+                out = pipe.submit(jnp.asarray(live.bgr_to_i420_host(frame)))
+            else:
+                out = pipe.submit(jnp.asarray(frame))
             if not pipelined:
                 out = pipe.flush()
             n += 1
@@ -153,6 +159,10 @@ def main(argv=None) -> int:
                    help="monitor up to K subjects at once (the reference "
                         "requests num_faces=2 but only processes face 0; "
                         "here every slot gets a full live chain)")
+    p.add_argument("--transfer", default="bgr", choices=("bgr", "i420"),
+                   help="host->device frame staging: i420 ships planar "
+                        "YUV 4:2:0 (half the bytes) and reconstructs BGR "
+                        "on device")
     p.add_argument("--detect-every", type=int, default=1, metavar="N",
                    help="run detection every N wall frames; holdover "
                         "tracking in between (all detection modes, "
@@ -192,7 +202,7 @@ def main(argv=None) -> int:
     return run(source, cfg, max_frames=args.max_frames,
                display=not args.no_display, k_faces=args.faces,
                detector=detector, pipelined=not args.sync,
-               plot=args.plot, plot_out=plot_out)
+               plot=args.plot, plot_out=plot_out, transfer=args.transfer)
 
 
 if __name__ == "__main__":

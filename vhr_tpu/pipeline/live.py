@@ -29,7 +29,7 @@ from ..ops import roi as vroi
 
 __all__ = ["LiveConfig", "LiveState", "LiveOutput", "init_state", "step",
            "make_step", "MultiLiveState", "init_state_multi", "step_multi",
-           "make_step_multi", "LivePipeline"]
+           "make_step_multi", "LivePipeline", "bgr_to_i420_host"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -282,12 +282,34 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
     return new_state, out
 
 
+def _i420_frame_to_bgr(planar: jnp.ndarray) -> jnp.ndarray:
+    """``(H*3//2, W)`` planar YUV 4:2:0 -> ``(H, W, 3)`` uint8 BGR, on
+    device (bit-exact vs OpenCV; ``ops.color.i420_to_bgr_flat``)."""
+    from ..ops import color as vcolor
+    h = planar.shape[0] * 2 // 3
+    w = planar.shape[1]
+    flat = vcolor.i420_to_bgr_flat(planar.reshape(1, -1), h, w)
+    return flat.reshape(h, w, 3)
+
+
+def bgr_to_i420_host(frame_bgr) -> "np.ndarray":
+    """Host-side BGR -> planar I420 (cv2's SIMD path), for feeding
+    ``transfer="i420"`` live steps: 1.5 B/px on the wire instead of 3."""
+    import cv2
+    return cv2.cvtColor(np.ascontiguousarray(frame_bgr),
+                        cv2.COLOR_BGR2YUV_I420)
+
+
 def make_step(cfg: LiveConfig = LiveConfig(), donate: bool = True,
-              detector=None):
+              detector=None, transfer: str = "bgr"):
     """The compiled per-frame step; state buffers donated to stay on device.
 
     A ``jax.tree_util.Partial`` detector's weights enter the jitted
-    program as call-time arguments (never baked XLA literals)."""
+    program as call-time arguments (never baked XLA literals).
+
+    ``transfer="i420"``: the step takes a ``(H*3//2, W)`` uint8 planar
+    YUV 4:2:0 frame (see :func:`bgr_to_i420_host`) and reconstructs BGR on
+    device — 2x fewer host->device bytes per frame."""
     if detector is None:
         det_fn, det_args = None, ()
     else:
@@ -296,7 +318,14 @@ def make_step(cfg: LiveConfig = LiveConfig(), donate: bool = True,
                              "pass detector=None")
         from .offline import _split_detector as _split
         det_fn, det_args = _split(detector)
-    f = functools.partial(_step_impl, cfg=cfg, det_fn=det_fn)
+    if transfer not in ("bgr", "i420"):
+        raise ValueError(f"transfer must be 'bgr' or 'i420', got {transfer!r}")
+
+    def f(state, frame, det_args):
+        if transfer == "i420":
+            frame = _i420_frame_to_bgr(frame)
+        return _step_impl(state, frame, det_args, cfg, det_fn)
+
     jitted = jax.jit(f, donate_argnums=(0,) if donate else ())
     return lambda state, frame: jitted(state, frame, det_args)
 
@@ -322,8 +351,17 @@ class LivePipeline:
     """
 
     def __init__(self, cfg: LiveConfig = LiveConfig(), detector=None,
-                 k_faces: int = 1, donate: bool = True):
+                 k_faces: int = 1, donate: bool = True,
+                 transfer: str = "bgr"):
+        """``transfer="i420"``: :meth:`submit` takes a planar YUV 4:2:0
+        frame of shape ``(H*3//2, W)`` uint8 (``bgr_to_i420_host`` converts
+        a camera BGR frame) and the step reconstructs BGR on device —
+        halving-and-halving the per-frame host->device bytes, which is the
+        live loop's wire cost when frames originate on the host."""
         from .offline import _split_detector as _split
+        if transfer not in ("bgr", "i420"):
+            raise ValueError(f"transfer must be 'bgr' or 'i420', "
+                             f"got {transfer!r}")
         if detector is None:
             det_fn, det_args = None, ()
         else:
@@ -332,6 +370,7 @@ class LivePipeline:
                                  "detector; pass detector=None")
             det_fn, det_args = _split(detector)
         self._multi = k_faces > 1
+        self._i420 = transfer == "i420"
 
         # The step's whole output is packed into ONE float32 tensor inside
         # the jitted program: the host then syncs with a single value fetch
@@ -339,6 +378,8 @@ class LivePipeline:
         # measured on the relay, a per-field fetch costs ~25 ms each and
         # erases the pipelining win.
         def packed(state, frame, args):
+            if self._i420:
+                frame = _i420_frame_to_bgr(frame)
             if self._multi:
                 s2, o = _step_multi_impl(state, frame, args, cfg, k_faces,
                                          det_fn)
