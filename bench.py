@@ -214,12 +214,25 @@ def bench_live_latency() -> dict:
     # the host->device link every step).  BGR ships 3 B/px; transfer="i420"
     # ships planar YUV 4:2:0 (1.5 B/px, reconstructed on device bit-exactly
     # vs OpenCV) — on bandwidth-limited links the wire cost halves.
+    # The i420_ds4 row composes host INTER_AREA 4x downsampling (exact 4x4
+    # block means — commutes with the ROI's own spatial mean; the
+    # spatial_resolution degradation sweep measures the accuracy impact)
+    # with I420 staging: 32x fewer bytes per step — the configuration that
+    # clears the 33 ms budget even through this harness's network tunnel.
+    import cv2
     host_frames = np.asarray(frames)
     host_rows = {}
-    for mode in ("bgr", "i420"):
-        pipe_h = live.LivePipeline(cfg, donate=True, transfer=mode)
-        feed = (lambda f: jnp.asarray(live.bgr_to_i420_host(f))) \
-            if mode == "i420" else (lambda f: jnp.asarray(f))
+    for mode, ds in (("bgr", 1), ("i420", 1), ("i420_ds4", 4)):
+        transfer = "i420" if mode.startswith("i420") else "bgr"
+        pipe_h = live.LivePipeline(cfg, donate=True, transfer=transfer)
+
+        def feed(f, _ds=ds, _t=transfer):
+            if _ds > 1:
+                f = cv2.resize(f, (f.shape[1] // _ds, f.shape[0] // _ds),
+                               interpolation=cv2.INTER_AREA)
+            return jnp.asarray(live.bgr_to_i420_host(f) if _t == "i420"
+                               else f)
+
         pipe_h.submit(feed(host_frames[0]))
         lats_h = []
         for i in range(1, K):
@@ -230,6 +243,29 @@ def bench_live_latency() -> dict:
         pipe_h.flush()
         host_rows[f"p50_pipelined_hostframe_{mode}"] = round(
             float(np.percentile(lats_h, 50)), 2)
+
+    # frames_per_call=4 micro-batches the loop: 4 frames ship as ONE upload,
+    # run as one 4-step lax.scan, and return as one fetch — one link round
+    # trip per 4 frames (each *call* costs a round trip here, so batching
+    # fetches alone measured worse; batching calls is the lever).  Batched
+    # calls make per-step latencies bimodal, so report the honest
+    # steady-state mean ms/frame over the whole run.
+    pipe_b = live.LivePipeline(cfg, donate=True, transfer="i420",
+                               frames_per_call=4)
+    feed4 = lambda f: live.bgr_to_i420_host(
+        cv2.resize(f, (f.shape[1] // 4, f.shape[0] // 4),
+                   interpolation=cv2.INTER_AREA))
+    for i in range(8):                          # warm both compiles + queue
+        pipe_b.submit(feed4(host_frames[i % K]))
+    t0 = time.perf_counter()
+    for i in range(1, K):
+        pipe_b.submit(feed4(host_frames[i]))
+    # drain the queued batch inside the timed window (fair accounting)
+    out = pipe_b.submit(feed4(host_frames[0]))
+    dt = time.perf_counter() - t0
+    pipe_b.flush()
+    host_rows["ms_per_frame_hostframe_i420_ds4_mbatch4"] = round(
+        dt * 1e3 / K, 2)
 
     # Scan-amortized device compute per frame (one dispatch, K steps).
     @jax.jit
@@ -288,6 +324,9 @@ def bench_live_latency() -> dict:
         "budget_ms": LIVE_BUDGET_MS,
         "within_budget": per_frame_ms <= LIVE_BUDGET_MS,
         "within_budget_incl_rtt": p50_pipelined <= LIVE_BUDGET_MS,
+        "within_budget_hostframe": (
+            host_rows["ms_per_frame_hostframe_i420_ds4_mbatch4"]
+            <= LIVE_BUDGET_MS),
         "config": {"h": H, "w": W, "steps": K, "ring_len": cfg.ring_len,
                    "fused_mode": "detect_row_pool=8, gate_margin=0.15"},
     }

@@ -372,3 +372,94 @@ def test_live_i420_transfer_matches_bgr(clip):
             outs.append(float(out.green_raw))
     np.testing.assert_allclose(np.asarray(outs), np.asarray(gi[:n - 1]),
                                atol=1e-5)
+
+
+def test_live_ingest_downsample_bpm_parity():
+    """The low-bandwidth ingest mode (host INTER_AREA 4x + i420, 32x fewer
+    wire bytes) recovers the same steady BPM as full-resolution frames:
+    INTER_AREA is exact 4x4 block means, which commutes (to block-boundary
+    effects) with the ROI's own spatial mean."""
+    cv2 = pytest.importorskip("cv2")
+    clip4 = synthesize(SynthSpec(duration_s=12.0, bpm=84.0, height=96,
+                                 width=128, fps=30.0, noise_std=0.5))
+    cfg = live.LiveConfig(fps=clip4.fps, ring_len=256)
+
+    def bpm_trace(feed_fn, transfer):
+        st = live.init_state(cfg)
+        stp = live.make_step(cfg, donate=False, transfer=transfer)
+        bpms = []
+        for f in clip4.frames:
+            st, out = stp(st, feed_fn(f))
+            if bool(out.bpm_valid):
+                bpms.append(float(out.bpm))
+        return np.asarray(bpms)
+
+    full = bpm_trace(lambda f: jnp.asarray(f), "bgr")
+
+    def ds4_i420(f):
+        small = cv2.resize(f, (f.shape[1] // 4, f.shape[0] // 4),
+                           interpolation=cv2.INTER_AREA)
+        return jnp.asarray(live.bgr_to_i420_host(small))
+
+    low = bpm_trace(ds4_i420, "i420")
+    assert full.size and low.size
+    # Same steady estimate (the synthetic pulse sits on an exact FFT bin).
+    assert abs(np.median(full[full.size // 2:])
+               - np.median(low[low.size // 2:])) < 2.0
+
+
+def test_live_pipeline_fetch_every_batches(clip):
+    """fetch_every=N returns the same outputs as the 1-deep pipeline, in
+    order, batched N at a time via one stacked device fetch."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    n = 25
+
+    ref_pipe = live.LivePipeline(cfg, donate=False)
+    ref = []
+    for f in clip.frames[:n]:
+        out = ref_pipe.submit(jnp.asarray(f))
+        if out is not None:
+            ref.append(float(out.green_raw))
+    last = ref_pipe.flush()
+    ref.append(float(last.green_raw))
+
+    pipe = live.LivePipeline(cfg, donate=False, fetch_every=3)
+    got = []
+    for f in clip.frames[:n]:
+        outs = pipe.submit(jnp.asarray(f))
+        if outs is not None:
+            assert isinstance(outs, list) and len(outs) == 3
+            got.extend(float(o.green_raw) for o in outs)
+    tail = pipe.flush()
+    assert isinstance(tail, list)
+    got.extend(float(o.green_raw) for o in tail)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_live_pipeline_frames_per_call(clip):
+    """frames_per_call=M (one upload, one M-step scan, one fetch per M
+    frames) reproduces the sequential outputs exactly, including a partial
+    tail drained by flush; composes with i420 transfer."""
+    cfg = live.LiveConfig(fps=clip.fps, ring_len=64)
+    n = 23                                    # not a multiple of M=4
+
+    ref_pipe = live.LivePipeline(cfg, donate=False)
+    ref = []
+    for f in clip.frames[:n]:
+        out = ref_pipe.submit(f)
+        if out is not None:
+            ref.append(float(out.green_raw))
+    ref.append(float(ref_pipe.flush().green_raw))
+
+    pipe = live.LivePipeline(cfg, donate=False, frames_per_call=4)
+    got = []
+    for f in clip.frames[:n]:
+        outs = pipe.submit(f)
+        if outs:
+            assert len(outs) == 4
+            got.extend(float(o.green_raw) for o in outs)
+    got.extend(float(o.green_raw) for o in pipe.flush())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        live.LivePipeline(cfg, fetch_every=2, frames_per_call=2)

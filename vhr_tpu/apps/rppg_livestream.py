@@ -29,7 +29,8 @@ import numpy as np
 
 def run(source, cfg, max_frames=None, display=True, k_faces=1,
         detector=None, pipelined=True, plot=False, plot_out=None,
-        transfer="bgr") -> int:
+        transfer="bgr", ingest_downsample=1, fetch_every=1,
+        frames_per_call=1) -> int:
     import cv2
     import jax.numpy as jnp
 
@@ -55,7 +56,9 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
     # answer lag (the reference's async detector has the same lag,
     # rppg_LIVESTREAM.py:335-341).  ``pipelined=False`` syncs every frame.
     pipe = live.LivePipeline(cfg, detector=detector, k_faces=k_faces,
-                             donate=False, transfer=transfer)
+                             donate=False, transfer=transfer,
+                             fetch_every=fetch_every,
+                             frames_per_call=frames_per_call)
 
     paused = False
     n = 0
@@ -66,15 +69,36 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
             if not ret:
                 print("End of stream reached.")
                 break
+            dev_frame = frame
+            if ingest_downsample > 1:
+                # Host INTER_AREA downsample = exact kxk block means — the
+                # same spatial averaging the ROI mean performs; the
+                # degradation suite measures the (small) accuracy impact of
+                # running at reduced resolution (spatial_resolution sweep).
+                h2 = frame.shape[0] // ingest_downsample // 2 * 2
+                w2 = frame.shape[1] // ingest_downsample // 2 * 2
+                dev_frame = cv2.resize(frame, (w2, h2),
+                                       interpolation=cv2.INTER_AREA)
             if transfer == "i420":
                 # Host cvtColor (cv2's SIMD path) halves the bytes shipped
                 # to the device; BGR is reconstructed on device bit-exactly.
-                out = pipe.submit(jnp.asarray(live.bgr_to_i420_host(frame)))
-            else:
-                out = pipe.submit(jnp.asarray(frame))
+                dev_frame = live.bgr_to_i420_host(dev_frame)
+            # host arrays go straight in: the pipeline stages them (and
+            # micro-batches the upload when frames_per_call > 1)
+            out = pipe.submit(dev_frame)
             if not pipelined:
                 out = pipe.flush()
             n += 1
+            if isinstance(out, list):
+                # fetch_every>1 batch: plot every sample, display the newest.
+                if plotter is not None:
+                    for o in out[:-1]:
+                        plotter.push(
+                            float(np.atleast_1d(o.green_raw)[0]),
+                            float(np.atleast_1d(o.green_filtered)[0]),
+                            float(np.atleast_1d(o.bpm)[0]),
+                            bool(np.atleast_1d(o.bpm_valid)[0]))
+                out = out[-1] if out else None
             if out is not None:
                 # Normalize to a face axis so one path serves both modes.
                 boxes = np.atleast_2d(out.box)
@@ -95,7 +119,9 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
                         print(f"Bpm after filtering: {msg}")
                 if display:
                     for k in range(len(boxes)):
-                        x1, y1, x2, y2 = boxes[k]
+                        # device boxes are in ingest coordinates; scale back
+                        # to the display frame
+                        x1, y1, x2, y2 = boxes[k] * ingest_downsample
                         if face_ok[k]:
                             cv2.rectangle(frame, (x1, y1), (x2, y2),
                                           (0, 255, 0), 2)
@@ -113,6 +139,8 @@ def run(source, cfg, max_frames=None, display=True, k_faces=1,
                 paused = not paused
 
     last = pipe.flush()
+    if isinstance(last, list):
+        last = last[-1] if last else None
     if last is not None and np.atleast_1d(last.bpm_valid).any():
         bpms = np.atleast_1d(last.bpm)
         print(f"Bpm after filtering: {bpms[0]:.2f}")
@@ -163,6 +191,20 @@ def main(argv=None) -> int:
                    help="host->device frame staging: i420 ships planar "
                         "YUV 4:2:0 (half the bytes) and reconstructs BGR "
                         "on device")
+    p.add_argument("--ingest-downsample", type=int, default=1, metavar="K",
+                   help="host-side INTER_AREA downsample (exact KxK block "
+                        "means) before staging: K=4 with --transfer i420 "
+                        "cuts the per-frame wire cost 32x (the lever for "
+                        "bandwidth-limited host->device links)")
+    p.add_argument("--fetch-every", type=int, default=1, metavar="N",
+                   help="amortize the blocking output fetch over N frames "
+                        "(one stacked fetch; answer lag <= N+1 frames) — "
+                        "for high-round-trip host->device links")
+    p.add_argument("--frames-per-call", type=int, default=1, metavar="M",
+                   help="micro-batch M frames per device call (one upload, "
+                        "one scan of M steps, one fetch; answer lag <= 2M "
+                        "frames) — the stronger lever when each call costs "
+                        "a round trip")
     p.add_argument("--detect-every", type=int, default=1, metavar="N",
                    help="run detection every N wall frames; holdover "
                         "tracking in between (all detection modes, "
@@ -197,12 +239,18 @@ def main(argv=None) -> int:
     source = args.video if args.video is not None else args.camera
     print("PRESS q to quit -- PRESS spacebar to pause")
     plot_out = args.plot_out
+    if args.sync and (args.frames_per_call > 1 or args.fetch_every > 1):
+        p.error("--sync flushes every frame; it cannot combine with "
+                "--frames-per-call/--fetch-every batching")
     if args.plot and args.no_display and plot_out is None:
         plot_out = "livestream_signals.png"
     return run(source, cfg, max_frames=args.max_frames,
                display=not args.no_display, k_faces=args.faces,
                detector=detector, pipelined=not args.sync,
-               plot=args.plot, plot_out=plot_out, transfer=args.transfer)
+               plot=args.plot, plot_out=plot_out, transfer=args.transfer,
+               ingest_downsample=args.ingest_downsample,
+               fetch_every=args.fetch_every,
+               frames_per_call=args.frames_per_call)
 
 
 if __name__ == "__main__":

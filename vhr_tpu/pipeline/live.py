@@ -352,12 +352,30 @@ class LivePipeline:
 
     def __init__(self, cfg: LiveConfig = LiveConfig(), detector=None,
                  k_faces: int = 1, donate: bool = True,
-                 transfer: str = "bgr"):
+                 transfer: str = "bgr", fetch_every: int = 1,
+                 frames_per_call: int = 1):
         """``transfer="i420"``: :meth:`submit` takes a planar YUV 4:2:0
         frame of shape ``(H*3//2, W)`` uint8 (``bgr_to_i420_host`` converts
         a camera BGR frame) and the step reconstructs BGR on device —
         halving-and-halving the per-frame host->device bytes, which is the
-        live loop's wire cost when frames originate on the host."""
+        live loop's wire cost when frames originate on the host.
+
+        ``fetch_every=N`` amortizes the blocking output fetch (one link
+        round trip) over N frames: outputs accumulate on device and come
+        back as ONE stacked fetch, so :meth:`submit` returns a *list* of
+        LiveOutputs every Nth call (None otherwise) and the answer lag
+        grows to ≤N+1 frames.  N=2 halves the per-frame round-trip cost
+        while keeping the dispatch queue within the shallow-queue depth
+        that high-latency links tolerate (CLAUDE.md relay rules).
+
+        ``frames_per_call=M`` micro-batches the live loop itself: M frames
+        ship as ONE stacked transfer, the device runs M carried steps
+        inside one jit (``lax.scan``), and the M outputs come back in one
+        fetch — one link round trip per M frames instead of per frame,
+        the stronger lever when each *call* (not byte) costs a round trip.
+        :meth:`submit` then returns a list of M LiveOutputs every Mth call
+        (answer lag ≤ 2M frames).  BPM cadence is unchanged — every frame
+        still gets its own estimate."""
         from .offline import _split_detector as _split
         if transfer not in ("bgr", "i420"):
             raise ValueError(f"transfer must be 'bgr' or 'i420', "
@@ -371,6 +389,16 @@ class LivePipeline:
             det_fn, det_args = _split(detector)
         self._multi = k_faces > 1
         self._i420 = transfer == "i420"
+        if fetch_every < 1:
+            raise ValueError("fetch_every must be >= 1")
+        if frames_per_call < 1:
+            raise ValueError("frames_per_call must be >= 1")
+        if fetch_every > 1 and frames_per_call > 1:
+            raise ValueError("fetch_every and frames_per_call are "
+                             "alternative batching levers; use one")
+        self._fetch_every = fetch_every
+        self._frames_per_call = frames_per_call
+        self._buf: list = []
 
         # The step's whole output is packed into ONE float32 tensor inside
         # the jitted program: the host then syncs with a single value fetch
@@ -395,28 +423,79 @@ class LivePipeline:
 
         jitted = jax.jit(packed, donate_argnums=(0,) if donate else ())
         self._step = lambda s, f: jitted(s, f, det_args)
+
+        def packed_scan(state, frames, args):
+            def body(s, f):
+                return packed(s, f, args)
+            return jax.lax.scan(body, state, frames)
+
+        jitted_scan = jax.jit(packed_scan,
+                              donate_argnums=(0,) if donate else ())
+        self._step_scan = lambda s, fs: jitted_scan(s, fs, det_args)
         self._state = (init_state_multi(cfg, k_faces) if self._multi
                        else init_state(cfg))
-        self._pending = None
+        self._pending: list = []
 
-    def _materialize(self, vec) -> LiveOutput:
-        a = np.asarray(vec)                  # the single blocking fetch
+    @staticmethod
+    def _unpack(a) -> LiveOutput:
         return LiveOutput(bpm=a[..., 0], bpm_valid=a[..., 1] > 0.5,
                           green_raw=a[..., 2], green_filtered=a[..., 3],
                           box=a[..., 5:9].astype(np.int32),
                           face_valid=a[..., 4] > 0.5)
 
-    def submit(self, frame) -> Optional[LiveOutput]:
-        """Enqueue ``frame``; return the previous frame's output (host
-        arrays), or None on the very first call."""
-        self._state, out = self._step(self._state, frame)
-        prev, self._pending = self._pending, out
-        return self._materialize(prev) if prev is not None else None
+    def _materialize(self, vecs):
+        if not vecs:
+            return None
+        if len(vecs) == 1:
+            out = self._unpack(np.asarray(vecs[0]))   # 1 blocking fetch
+            return out if self._fetch_every == 1 else [out]
+        # One stack dispatch + ONE blocking fetch for the whole batch
+        # (per-array fetches cost one link round trip EACH).
+        a = np.asarray(jnp.stack(vecs))
+        return [self._unpack(a[i]) for i in range(a.shape[0])]
 
-    def flush(self) -> Optional[LiveOutput]:
-        """Drain the in-flight frame (call once after the last submit)."""
-        prev, self._pending = self._pending, None
-        return self._materialize(prev) if prev is not None else None
+    def submit(self, frame):
+        """Enqueue ``frame``.  With ``fetch_every=1`` (default): returns the
+        previous frame's LiveOutput (host arrays), or None on the very first
+        call.  With ``fetch_every=N`` or ``frames_per_call=M``: returns a
+        list of the N (M) oldest pending LiveOutputs every Nth (Mth) call,
+        None otherwise."""
+        if self._frames_per_call > 1:
+            self._buf.append(np.asarray(frame))
+            if len(self._buf) < self._frames_per_call:
+                return None
+            frames = jnp.asarray(np.stack(self._buf))  # ONE stacked upload
+            self._buf = []
+            self._state, vecs = self._step_scan(self._state, frames)
+            self._pending.append(vecs)
+            if len(self._pending) > 1:                 # 1 batch stays queued
+                a = np.asarray(self._pending.pop(0))   # ONE blocking fetch
+                return [self._unpack(a[i]) for i in range(a.shape[0])]
+            return None
+        self._state, out = self._step(self._state, frame)
+        self._pending.append(out)
+        if len(self._pending) > self._fetch_every:
+            batch, self._pending = (self._pending[:-1],
+                                    self._pending[-1:])
+            return self._materialize(batch)
+        return None
+
+    def flush(self):
+        """Drain in-flight frames (call once after the last submit).
+        Returns a LiveOutput (``fetch_every=1``) or a list."""
+        if self._frames_per_call > 1:
+            for f in self._buf:                # partial tail, one at a time
+                self._state, v = self._step(self._state, jnp.asarray(f))
+                self._pending.append(jnp.expand_dims(v, 0))
+            self._buf = []
+            outs: list = []
+            for b in self._pending:
+                a = np.asarray(b)
+                outs.extend(self._unpack(a[i]) for i in range(a.shape[0]))
+            self._pending = []
+            return outs or None
+        batch, self._pending = self._pending, []
+        return self._materialize(batch)
 
 
 class MultiLiveState(NamedTuple):
