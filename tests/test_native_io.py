@@ -146,3 +146,75 @@ def test_i420_streaming_pipeline_equivalence(clip_file):
         return np.asarray(res.bpm)[np.asarray(res.valid)]
 
     np.testing.assert_allclose(bpm_of(a, va), bpm_of(b, vb), atol=1.0)
+
+
+def test_i420_roi_means_matches_reconstruction():
+    """Plane-domain ROI means (affine map of Y/U/V plane means, RGB never
+    materialized) match reconstruct-then-reduce within the per-pixel
+    rounding bound for even-aligned boxes, and within ~1 u8 for odd
+    edges (half-pixel chroma boundary)."""
+    import jax.numpy as jnp
+
+    from vhr_tpu.ops import color, reduce as vreduce
+
+    import cv2
+
+    rng = np.random.default_rng(7)
+    T, H, W = 6, 64, 96
+    # gamut-valid, spatially smooth frames (like real video): per-pixel
+    # random colors put neighbor-Y + shared-chroma combinations out of
+    # gamut, where the per-pixel clip the affine map drops dominates
+    bgr = rng.integers(10, 246, (T, H, W, 3), np.uint8)
+    bgr = np.stack([cv2.GaussianBlur(f, (9, 9), 3) for f in bgr])
+    raw = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420).reshape(-1)
+                    for f in bgr])
+    chunk = jnp.asarray(raw)
+
+    flat = color.i420_to_bgr_flat(chunk, H, W)
+    frames = np.asarray(flat).reshape(T, H, W, 3)
+
+    # even-aligned boxes: only the dropped per-pixel descale/clip remains
+    rois_even = jnp.asarray(
+        np.stack([np.full(T, 8), np.full(T, 12), np.full(T, 72),
+                  np.full(T, 48)], axis=1), jnp.int32)
+    ref, cnt_ref = vreduce.roi_channel_means(jnp.asarray(frames), rois_even)
+    got, cnt = color.i420_roi_means(chunk, rois_even, H, W)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_ref))
+    assert float(np.abs(np.asarray(got) - np.asarray(ref)).max()) < 0.51
+
+    # odd edges: half-pixel chroma boundary approximation
+    rois_odd = jnp.asarray(
+        np.stack([np.full(T, 9), np.full(T, 13), np.full(T, 71),
+                  np.full(T, 47)], axis=1), jnp.int32)
+    ref2, _ = vreduce.roi_channel_means(jnp.asarray(frames), rois_odd)
+    got2, _ = color.i420_roi_means(chunk, rois_odd, H, W)
+    assert float(np.abs(np.asarray(got2) - np.asarray(ref2)).max()) < 1.5
+
+    # empty ROI -> zeros, zero count (roi_channel_means convention)
+    rois_zero = jnp.zeros((T, 4), jnp.int32)
+    gz, cz = color.i420_roi_means(chunk, rois_zero, H, W)
+    assert np.all(np.asarray(gz) == 0) and np.all(np.asarray(cz) == 0)
+
+
+def test_i420_streaming_cadence_plane_path():
+    """The i420 streaming path runs detection at cadence on reconstructed
+    frames and means on the planes; cadence-4 equals cadence-1 under
+    stable detection (the uniform cadence invariant)."""
+    import tempfile
+
+    from vhr_tpu.config import PipelineConfig
+    from vhr_tpu.pipeline import offline
+    from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+    v = synthesize(SynthSpec(duration_s=3.0, height=96, width=128, bpm=72.0))
+    path = tempfile.mktemp(suffix=".avi")
+    with native.NativeVideoWriter(path, 128, 96, v.fps, "MJPG") as w:
+        w.write(v.frames)
+
+    cfg = PipelineConfig(window_seconds=2.0, acquisition_seconds=1.0)
+    m1, v1, _ = offline.extract_signals_streaming(
+        path, cfg, chunk_frames=32, transfer="i420", detect_every=1)
+    m4, v4, _ = offline.extract_signals_streaming(
+        path, cfg, chunk_frames=32, transfer="i420", detect_every=4)
+    np.testing.assert_array_equal(v1, v4)
+    np.testing.assert_allclose(m1, m4, atol=1e-4)

@@ -784,9 +784,43 @@ def extract_signals_streaming(video_path: str,
         batched_roi = jax.default_backend() == "tpu"
 
         @jax.jit
+        def chunk_step_i420(raw, det_args, carry):
+            # Plane-domain path (ingest-native): only the detection-cadence
+            # frames reconstruct to BGR (the detector needs pixels); the
+            # ROI channel means come straight off the Y/U/V planes via the
+            # affine map (ops/color.py::i420_roi_means) — RGB for the other
+            # frames never materializes, cutting the per-chunk HBM traffic
+            # from ~(1.5 read + 3 write + 3 read) B/px to ~1.5 B/px + the
+            # reconstructed detection subset.
+            T = raw.shape[0]
+            sub = _to_flat_bgr(raw[::detect_every])
+            S, H, WC = sub.shape
+            W = WC // 3
+            frames_sub = sub.reshape(S, H, W, 3)
+            b_sub, v_sub = det_fn(*det_args, frames_sub)
+            if detect_every > 1:
+                idx = jnp.arange(0, T, detect_every)
+                boxes = jnp.zeros((T, 4), b_sub.dtype).at[idx].set(b_sub)
+                valid = jnp.zeros((T,), bool).at[idx].set(v_sub)
+                attempted = jnp.zeros((T,), bool).at[idx].set(True)
+            else:
+                boxes, valid, attempted = b_sub, v_sub, None
+            track, carry = vroi_mod.holdover_with_carry(
+                boxes, valid, cfg.roi.landmark_hold_frames, carry,
+                attempted=attempted)
+            rois = vroi_mod.measurement_roi(track.box, cfg.roi, W, H,
+                                            cfg.roi_site)
+            rois = jnp.where(track.valid[:, None], rois, 0)
+            # clamp out of the zero pad columns: the plane tensors are
+            # true-width
+            rois = jnp.stack([rois[:, 0], rois[:, 1],
+                              jnp.minimum(rois[:, 2], _w),
+                              jnp.minimum(rois[:, 3], _h)], axis=1)
+            means, _ = vcolor.i420_roi_means(raw, rois, _h, _w)
+            return means, track.valid, carry
+
+        @jax.jit
         def chunk_step(frames_flat, det_args, carry):
-            if _to_flat_bgr is not None:
-                frames_flat = _to_flat_bgr(frames_flat)
             T, H, WC = frames_flat.shape
             W = WC // 3
             frames = frames_flat.reshape(T, H, W, 3)
@@ -817,6 +851,8 @@ def extract_signals_streaming(video_path: str,
                 means, _ = vreduce.roi_channel_means(frames, rois)
             return means, track.valid, carry
 
+        if _to_flat_bgr is not None:
+            chunk_step = chunk_step_i420      # plane-domain means path
         carry = (jnp.zeros((4,), jnp.int32), jnp.int32(0),
                  jnp.asarray(False))
     # Host-side flatten (a free view of the contiguous decode buffer);
