@@ -1,0 +1,167 @@
+"""Serving pool tests: batched slots == the single live path, slot
+lifecycle (attach/reset/detach), skipped-tick hold, and the TCP front-end.
+
+The pool multiplexes many clients onto one device dispatch per tick
+(``vhr_tpu/serving.py``); the reference serves exactly one camera per
+process (``rppg_LIVESTREAM.py:256-366``)."""
+
+import threading
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vhr_tpu import serving
+from vhr_tpu.pipeline import live
+from vhr_tpu.utils.synth import SynthSpec, synthesize
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return synthesize(SynthSpec(duration_s=14.0, bpm=84.0, height=48,
+                                width=64, fps=10.0, noise_std=0.5))
+
+
+@pytest.fixture(scope="module")
+def clip2():
+    return synthesize(SynthSpec(duration_s=14.0, bpm=66.0, height=48,
+                                width=64, fps=10.0, noise_std=0.5, seed=7))
+
+
+def _single_trace(cfg, frames):
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False)
+    outs = []
+    for f in frames:
+        st, o = stp(st, jnp.asarray(f))
+        outs.append(o)
+    return outs
+
+
+def test_pool_matches_single_path(clip, clip2):
+    """Two occupied slots must each reproduce the single-stream live step
+    exactly (same holdover, SOS, masked-Welch semantics, just batched)."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    srv = serving.BpmServer(cfg, n_slots=3, donate=False)
+    a, b = srv.attach(), srv.attach()
+    outs_a, outs_b = [], []
+    for fa, fb in zip(clip.frames, clip2.frames):
+        outs = srv.tick({a: fa, b: fb})
+        outs_a.append(outs[a])
+        outs_b.append(outs[b])
+    ref_a = _single_trace(cfg, clip.frames)
+    ref_b = _single_trace(cfg, clip2.frames)
+    for got, ref in ((outs_a, ref_a), (outs_b, ref_b)):
+        np.testing.assert_allclose(
+            np.array([float(o.green_raw) for o in got]),
+            np.array([float(o.green_raw) for o in ref]), rtol=0, atol=1e-5)
+        np.testing.assert_allclose(
+            np.array([float(o.bpm) for o in got]),
+            np.array([float(o.bpm) for o in ref]), rtol=0, atol=1e-4)
+        assert ([bool(o.bpm_valid) for o in got]
+                == [bool(o.bpm_valid) for o in ref])
+        assert ([bool(o.face_valid) for o in got]
+                == [bool(o.face_valid) for o in ref])
+    # Both subjects resolve their own injected rates.
+    assert bool(outs_a[-1].bpm_valid) and bool(outs_b[-1].bpm_valid)
+    assert abs(float(outs_a[-1].bpm) - 84.0) <= 8.0
+    assert abs(float(outs_b[-1].bpm) - 66.0) <= 8.0
+
+
+def test_pool_reattach_resets_slot(clip):
+    """Detach + attach recycles the slot with zeroed state: the fresh
+    client re-runs acquisition from scratch, unaffected by its
+    predecessor's ring."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    srv = serving.BpmServer(cfg, n_slots=1, donate=False)
+    s = srv.attach()
+    first = [srv.tick({s: f})[s] for f in clip.frames]
+    assert bool(first[-1].bpm_valid)
+    srv.detach(s)
+    s2 = srv.attach()
+    assert s2 == s
+    again = [srv.tick({s2: f})[s2] for f in clip.frames]
+    np.testing.assert_allclose(
+        np.array([float(o.green_filtered) for o in again]),
+        np.array([float(o.green_filtered) for o in first]),
+        rtol=0, atol=1e-5)
+    assert not bool(again[0].bpm_valid)      # acquisition restarted
+
+
+def test_pool_skipped_tick_holds_state(clip):
+    """A slot that misses a tick advances nothing: interleaving idle ticks
+    leaves its output trace identical to contiguous feeding."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    srv = serving.BpmServer(cfg, n_slots=2, donate=False)
+    a, b = srv.attach(), srv.attach()
+    outs_a = []
+    n = 40
+    for i, f in enumerate(clip.frames[:n]):
+        outs_a.append(srv.tick({a: f, b: clip.frames[0]})[a])
+        if i % 2 == 0:                       # a skips every other tick
+            srv.tick({b: clip.frames[0]})
+    ref_a = _single_trace(cfg, clip.frames[:n])
+    np.testing.assert_allclose(
+        np.array([float(o.green_filtered) for o in outs_a]),
+        np.array([float(o.green_filtered) for o in ref_a]),
+        rtol=0, atol=5e-4)   # float32 reassociation across the batched vmap
+
+
+def test_pool_slot_exhaustion_and_geometry():
+    cfg = live.LiveConfig(fps=10.0)
+    srv = serving.BpmServer(cfg, n_slots=1, donate=False)
+    srv.attach()
+    with pytest.raises(RuntimeError, match="busy"):
+        srv.attach()
+    with pytest.raises(ValueError, match="use_fused"):
+        serving.BpmServer(live.LiveConfig(use_fused=True))
+
+
+def test_pool_i420_transfer_matches_bgr(clip):
+    """transfer='i420' reconstructs BGR on device; ROI means shift only by
+    the chroma-subsample loss (<1.5 u8 spatially averaged — the live
+    pipeline's bound, tests/test_live.py)."""
+    cfg = live.LiveConfig(fps=clip.fps, ring_len=64)
+    srv_b = serving.BpmServer(cfg, n_slots=1, donate=False)
+    srv_p = serving.BpmServer(cfg, n_slots=1, transfer="i420", donate=False)
+    a = srv_b.attach()
+    c = srv_p.attach()
+    for f in clip.frames[:30]:
+        ob = srv_b.tick({a: f})[a]
+        op = srv_p.tick({c: live.bgr_to_i420_host(f)})[c]
+        assert abs(float(ob.green_raw) - float(op.green_raw)) < 1.5
+
+
+def test_tcp_server_two_clients(clip, clip2):
+    """End-to-end over localhost TCP: two clients stream concurrently;
+    every accepted frame is answered in order and both recover their
+    injected BPM."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=4, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2])
+    port = srv.server_address[1]
+    results = {}
+
+    def run_client(name, frames):
+        c = serving.BpmClient("127.0.0.1", port)
+        outs = []
+        for f in frames:
+            c.send(f)
+        for _ in range(len(frames)):
+            outs.append(c.recv())
+        c.close()
+        results[name] = outs
+
+    t1 = threading.Thread(target=run_client, args=("a", list(clip.frames)))
+    t2 = threading.Thread(target=run_client, args=("b", list(clip2.frames)))
+    t1.start(); t2.start()
+    t1.join(timeout=300); t2.join(timeout=300)
+    assert not t1.is_alive() and not t2.is_alive()
+    for name, target in (("a", 84.0), ("b", 66.0)):
+        outs = results[name]
+        assert len(outs) == len(clip.frames)
+        assert [o["seq"] for o in outs] == list(range(len(outs)))
+        assert outs[-1]["bpm_valid"]
+        assert abs(outs[-1]["bpm"] - target) <= 8.0
+    srv.shutdown()

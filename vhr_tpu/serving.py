@@ -1,0 +1,427 @@
+"""Production serving: an S-slot batched live BPM engine + TCP front-end.
+
+The reference's live app serves exactly one webcam per Python process —
+``main()`` owns the camera, the globals, and the matplotlib window
+(``/root/reference/rppg_LIVESTREAM.py:256-366``).  Deployed at scale, a
+TPU chip should instead multiplex many independent live clients: this
+module pools ``n_slots`` subjects, carries their :class:`~vhr_tpu
+.pipeline.live.LiveState` as ONE batched pytree, and advances every
+active slot with ONE device dispatch per server tick.
+
+TPU-native design points:
+
+- **One dispatch serves all clients.**  Frames from active clients stack
+  into an ``(S, H, W, 3)`` batch; detection runs once over the flat
+  batch (detectors are frame-local — the per-stream vmap structure alone
+  cost 3x on the MediaPipe port, see ``parallel/streams.py``); the
+  per-slot DSP (streaming SOS, ring Welch) is vmapped pure math.
+- **Slots are masks, not shapes.**  Attach/detach/missed-frame are all an
+  ``active`` mask over a fixed ``(S, ...)`` state: one compile, reused
+  for every population of clients (SURVEY §7 "dynamic-shape poison").
+- **Outputs cross back as one packed tensor** — a single fetch per tick,
+  the high-latency-link rule the live pipeline established
+  (``pipeline/live.py::LivePipeline``).
+
+The TCP front-end (:func:`serve_forever`, CLI in ``apps/serve_bpm.py``)
+speaks a minimal length-prefixed protocol (JSON hello + raw frames in;
+JSON BPM lines out) so any camera host can join the pool.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import queue
+import socket
+import socketserver
+import struct
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dsp import filters
+from .models import skin_detector
+from .ops import reduce as vreduce
+from .ops import roi as vroi
+from .pipeline.live import (LiveConfig, LiveOutput, LiveState, _masked_welch_bpm,
+                            _sos, init_state)
+
+__all__ = ["BpmServer", "init_state_batched", "serve_forever", "BpmClient"]
+
+
+def init_state_batched(cfg: LiveConfig, n_slots: int) -> LiveState:
+    """A :class:`LiveState` with a leading ``(S,)`` slot axis (all zeros —
+    the single-slot init broadcast, so a zeroed slot IS a fresh slot)."""
+    one = init_state(cfg)
+    return jax.tree.map(
+        lambda x: jnp.zeros((n_slots,) + x.shape, x.dtype), one)
+
+
+def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
+                       active: jnp.ndarray, reset: jnp.ndarray,
+                       det_args, cfg: LiveConfig, det_fn
+                       ) -> Tuple[LiveState, jnp.ndarray]:
+    """One tick: advance all S slots from their (S, H, W, 3) frames.
+
+    Per-slot semantics are exactly ``pipeline.live._step_impl``'s (holdover,
+    cadence 'attempted' budget rule, masked ring/Welch) — pinned equal in
+    ``tests/test_serving.py`` — lifted to a leading slot axis:
+
+    - ``reset[s]``: zero slot s's state first (a client just attached).
+    - ``active[s]``: slot s received a frame this tick; inactive slots
+      advance nothing (no ring write, no budget drain, no frame_idx).
+    - detection runs ONCE over the whole (S,...) batch; with
+      ``detect_every > 1`` the per-slot phase gates *use* of the result
+      (serving ticks can't cond-skip compute for a mixed-phase batch —
+      the batch itself is the economy).
+    """
+    S, H, W, _ = frames.shape
+    sos = _sos(cfg)
+
+    state = jax.tree.map(
+        lambda x: jnp.where(reset.reshape((S,) + (1,) * (x.ndim - 1)),
+                            jnp.zeros_like(x), x), state)
+
+    if det_fn is None:
+        boxes, v_det = skin_detector.detect_faces(frames)
+    else:
+        boxes, v_det = det_fn(*det_args, frames)
+    boxes = boxes.astype(jnp.int32)                            # (S, 4)
+
+    attempt = jnp.logical_and(
+        jax.lax.rem(state.frame_idx, jnp.int32(cfg.detect_every)) == 0,
+        active)                                                # (S,)
+    v = jnp.logical_and(v_det, attempt)
+
+    # Holdover with the cadence 'attempted' semantics (live._step_impl).
+    new_last = jnp.where(v[:, None], boxes, state.last_box)
+    new_has = jnp.logical_or(v, state.has_last)
+    failed = jnp.logical_and(~v, attempt)
+    reuse_ok = jnp.logical_and(
+        failed, jnp.logical_and(state.has_last, state.hold_budget > 0))
+    tracked = jnp.logical_and(~attempt, state.has_last)
+    new_budget = jnp.where(v, cfg.roi.landmark_hold_frames,
+                           jnp.where(reuse_ok, state.hold_budget - 1,
+                                     state.hold_budget))
+    face_valid = jnp.logical_and(
+        jnp.logical_or(v, jnp.logical_or(reuse_ok, tracked)), active)
+
+    rois = vroi.measurement_roi(new_last, cfg.roi, W, H, cfg.roi_site)
+    rois = jnp.where(face_valid[:, None], rois, 0)
+    means, _ = vreduce.roi_channel_means(frames, rois)         # (S, 3)
+    green = means[:, 1]
+
+    filt, zi = jax.vmap(
+        lambda z, g: filters.sos_stream_push(sos, z, g))(state.zi, green)
+
+    ptr = jnp.mod(state.count, cfg.ring_len)                   # (S,)
+    s_idx = jnp.arange(S)
+    ring_raw = jnp.where(face_valid[:, None],
+                         state.ring_raw.at[s_idx, ptr].set(green),
+                         state.ring_raw)
+    ring_filt = jnp.where(face_valid[:, None],
+                          state.ring_filt.at[s_idx, ptr].set(filt),
+                          state.ring_filt)
+    count = state.count + face_valid.astype(jnp.int32)
+    zi = jnp.where(face_valid[:, None, None], zi, state.zi)
+
+    n_valid = jnp.minimum(count, cfg.ring_len)
+    ordered = jax.vmap(lambda r, s: jnp.roll(r, -s))(
+        ring_filt, jnp.mod(count, cfg.ring_len))
+    bpm, bpm_valid = jax.vmap(
+        lambda o, n: _masked_welch_bpm(o, n, cfg.fps, cfg.band,
+                                       cfg.welch_segment_seconds))(
+        ordered, n_valid)
+
+    new_state = LiveState(ring_raw=ring_raw, ring_filt=ring_filt,
+                          count=count, zi=zi, last_box=new_last,
+                          hold_budget=new_budget, has_last=new_has,
+                          frame_idx=state.frame_idx + active.astype(jnp.int32))
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    packed = jnp.concatenate([
+        jnp.stack([f32(bpm), f32(bpm_valid), f32(green),
+                   f32(filt), f32(face_valid)], axis=-1),
+        f32(new_last)], axis=-1)                               # (S, 9)
+    return new_state, packed
+
+
+def _unpack(a: np.ndarray) -> LiveOutput:
+    return LiveOutput(bpm=a[..., 0], bpm_valid=a[..., 1] > 0.5,
+                      green_raw=a[..., 2], green_filtered=a[..., 3],
+                      box=a[..., 5:9].astype(np.int32),
+                      face_valid=a[..., 4] > 0.5)
+
+
+class BpmServer:
+    """S-slot live BPM pool: one chip, many monitored subjects.
+
+    >>> srv = BpmServer(LiveConfig(fps=30.0), n_slots=8)
+    >>> a, b = srv.attach(), srv.attach()
+    >>> outs = srv.tick({a: frame_a, b: frame_b})   # ONE device dispatch
+    >>> outs[a].bpm, outs[b].bpm
+
+    All clients share one frame geometry per server (the batch is a static
+    shape; front-ends resize heterogeneous cameras before the pool, the
+    same way the reference fixes its camera geometry at startup).
+    ``transfer="i420"`` takes ``(H*3//2, W)`` planar frames and
+    reconstructs BGR on device (2x fewer wire bytes — see
+    ``pipeline.live.bgr_to_i420_host``).
+    """
+
+    def __init__(self, cfg: LiveConfig = LiveConfig(), n_slots: int = 8,
+                 detector=None, transfer: str = "bgr",
+                 donate: bool = True):
+        if cfg.use_fused:
+            raise ValueError("the serving pool runs the batched detector "
+                             "path; use_fused is single-stream "
+                             "(pipeline.live.step)")
+        if transfer not in ("bgr", "i420"):
+            raise ValueError(f"transfer must be 'bgr' or 'i420', "
+                             f"got {transfer!r}")
+        from .pipeline.offline import _split_detector as _split
+        det_fn, det_args = (None, ()) if detector is None else _split(detector)
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self._i420 = transfer == "i420"
+        self._lock = threading.Lock()
+        self._attached = [False] * n_slots
+        self._needs_reset = np.zeros((n_slots,), bool)
+        self._state = init_state_batched(cfg, n_slots)
+
+        def f(state, frames, active, reset, args):
+            if self._i420:
+                from .ops import color as vcolor
+                S = frames.shape[0]
+                h = frames.shape[1] * 2 // 3
+                w = frames.shape[2]
+                flat = vcolor.i420_to_bgr_flat(frames.reshape(S, -1), h, w)
+                frames = flat.reshape(S, h, w, 3)
+            return _step_batched_impl(state, frames, active, reset,
+                                      args, cfg, det_fn)
+
+        jitted = jax.jit(f, donate_argnums=(0,) if donate else ())
+        self._step = lambda s, fr, ac, rs: jitted(s, fr, ac, rs, det_args)
+        self._frame_shape: Optional[tuple] = None
+
+    def attach(self) -> int:
+        """Claim a free slot (its state zeroes on the next tick)."""
+        with self._lock:
+            for s in range(self.n_slots):
+                if not self._attached[s]:
+                    self._attached[s] = True
+                    self._needs_reset[s] = True
+                    return s
+        raise RuntimeError(f"all {self.n_slots} slots busy")
+
+    def detach(self, slot: int) -> None:
+        with self._lock:
+            self._attached[slot] = False
+
+    @property
+    def active_slots(self) -> list:
+        with self._lock:
+            return [s for s in range(self.n_slots) if self._attached[s]]
+
+    def tick(self, frames: Dict[int, np.ndarray]) -> Dict[int, LiveOutput]:
+        """Advance every slot that supplied a frame; one device dispatch,
+        one packed fetch.  Slots without a frame this tick hold all state
+        (a skipped camera frame, not a dropout)."""
+        if not frames:
+            return {}
+        shape = next(iter(frames.values())).shape
+        if self._frame_shape is None:
+            self._frame_shape = shape
+        elif shape != self._frame_shape:
+            raise ValueError(f"pool frame geometry is {self._frame_shape}; "
+                             f"got {shape} (resize before the pool)")
+        batch = np.zeros((self.n_slots,) + shape, np.uint8)
+        active = np.zeros((self.n_slots,), bool)
+        for s, f in frames.items():
+            if not self._attached[s]:
+                raise KeyError(f"slot {s} is not attached")
+            batch[s] = f
+            active[s] = True
+        with self._lock:
+            reset = self._needs_reset.copy()
+            self._needs_reset[:] = False
+        self._state, packed = self._step(
+            self._state, jnp.asarray(batch), jnp.asarray(active),
+            jnp.asarray(reset))
+        a = np.asarray(packed)                      # ONE blocking fetch
+        return {s: _unpack(a[s]) for s in frames}
+
+
+# ---------------------------------------------------------------------------
+# TCP front-end: length-prefixed frames in, JSON BPM lines out.
+#
+# Wire protocol (little-endian):
+#   client -> server:  one JSON hello line  {"transfer": "bgr"|"i420"}\n
+#                      then per frame: u32 payload length + raw uint8 bytes
+#                      (H*W*3 BGR, or (H*3/2)*W planar I420); length 0 = bye
+#   server -> client:  one JSON line per processed frame:
+#       {"seq": k, "bpm": f, "bpm_valid": b, "face_valid": b, "box": [4]}
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _ClientConn:
+    slot: int
+    inbox: "queue.Queue[np.ndarray]"
+    wfile: object
+    seq: int = 0
+    closing: bool = False
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = rfile.read(n - len(buf))
+        if not chunk:
+            raise EOFError
+        buf += chunk
+    return buf
+
+
+class _BpmTCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, pool: BpmServer, frame_shape: tuple,
+                 max_queue: int = 64):
+        self.pool = pool
+        self.frame_shape = tuple(frame_shape)
+        self.max_queue = max_queue
+        self.clients: Dict[int, _ClientConn] = {}
+        self.clients_lock = threading.Lock()
+        self._stop = threading.Event()
+        super().__init__(addr, _BpmHandler)
+        self._tick_thread = threading.Thread(target=self._tick_loop,
+                                             daemon=True)
+        self._tick_thread.start()
+
+    def _tick_loop(self):
+        """Drain one frame per connected client per tick — every frame is
+        processed, in order, and the batch dimension is the economy.  Slot
+        release is owned HERE (after the inbox drains), so a tick never
+        races a handler's detach."""
+        import time
+        while not self._stop.is_set():
+            with self.clients_lock:
+                conns = list(self.clients.values())
+            frames, outs_for = {}, []
+            for c in conns:
+                try:
+                    frames[c.slot] = c.inbox.get_nowait()
+                    outs_for.append(c)
+                except queue.Empty:
+                    if c.closing:
+                        with self.clients_lock:
+                            self.clients.pop(c.slot, None)
+                        self.pool.detach(c.slot)
+                        c.done.set()
+            if not frames:
+                time.sleep(0.001)
+                continue
+            outs = self.pool.tick(frames)
+            for c in outs_for:
+                o = outs[c.slot]
+                line = json.dumps({
+                    "seq": c.seq, "bpm": round(float(o.bpm), 4),
+                    "bpm_valid": bool(o.bpm_valid),
+                    "face_valid": bool(o.face_valid),
+                    "box": [int(x) for x in np.asarray(o.box)],
+                }) + "\n"
+                c.seq += 1
+                try:
+                    c.wfile.write(line.encode())
+                    c.wfile.flush()
+                except OSError:
+                    pass                     # handler thread will clean up
+
+    def shutdown(self):
+        self._stop.set()
+        super().shutdown()
+
+
+class _BpmHandler(socketserver.StreamRequestHandler):
+    def handle(self):
+        srv: _BpmTCPServer = self.server
+        hello = json.loads(self.rfile.readline().decode() or "{}")
+        transfer = hello.get("transfer", "bgr")
+        h, w = srv.frame_shape
+        nbytes = (h * 3 // 2) * w if transfer == "i420" else h * w * 3
+        shape = ((h * 3 // 2, w) if transfer == "i420" else (h, w, 3))
+        try:
+            slot = srv.pool.attach()
+        except RuntimeError as e:
+            self.wfile.write((json.dumps({"error": str(e)}) + "\n").encode())
+            return
+        conn = _ClientConn(slot=slot,
+                           inbox=queue.Queue(maxsize=srv.max_queue),
+                           wfile=self.wfile)
+        with srv.clients_lock:
+            srv.clients[slot] = conn
+        self.wfile.write((json.dumps({"slot": slot}) + "\n").encode())
+        self.wfile.flush()
+        try:
+            while True:
+                (n,) = struct.unpack("<I", _read_exact(self.rfile, 4))
+                if n == 0:
+                    break
+                if n != nbytes:
+                    raise ValueError(f"frame payload {n} != expected "
+                                     f"{nbytes} for {transfer}")
+                raw = _read_exact(self.rfile, n)
+                conn.inbox.put(np.frombuffer(raw, np.uint8).reshape(shape))
+        except (EOFError, OSError, ValueError):
+            pass
+        finally:
+            # The tick loop owns slot release: it drains the inbox (every
+            # accepted frame is answered), then detaches and signals.
+            conn.closing = True
+            conn.done.wait(timeout=30.0)
+
+
+def serve_forever(host: str, port: int, pool: BpmServer,
+                  frame_shape: tuple) -> _BpmTCPServer:
+    """Start the TCP front-end on a background thread; returns the server
+    (``.server_address`` has the bound port; call ``.shutdown()``)."""
+    srv = _BpmTCPServer((host, port), pool, frame_shape)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+class BpmClient:
+    """Minimal client for the TCP protocol (test + reference harness).
+
+    >>> c = BpmClient("127.0.0.1", port)
+    >>> c.send(frame); out = c.recv()      # dicts per processed frame
+    """
+
+    def __init__(self, host: str, port: int, transfer: str = "bgr",
+                 timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.rfile = self.sock.makefile("rb")
+        self.transfer = transfer
+        self.sock.sendall((json.dumps({"transfer": transfer}) + "\n")
+                          .encode())
+        self.slot = json.loads(self.rfile.readline().decode())["slot"]
+
+    def send(self, frame: np.ndarray) -> None:
+        raw = np.ascontiguousarray(frame, np.uint8).tobytes()
+        self.sock.sendall(struct.pack("<I", len(raw)) + raw)
+
+    def recv(self) -> dict:
+        return json.loads(self.rfile.readline().decode())
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(struct.pack("<I", 0))
+        except OSError:
+            pass
+        self.sock.close()
