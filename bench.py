@@ -788,6 +788,102 @@ def bench_mediapipe() -> dict:
     }
 
 
+def bench_serving() -> dict:
+    """Serving pool (``vhr_tpu/serving.py``): one batched dispatch advances
+    S live clients' slots per tick.  Measures per-tick device compute and
+    the implied client capacity at 30 fps — the deployment shape the
+    reference cannot express (one camera per Python process,
+    ``rppg_LIVESTREAM.py:256-366``).
+
+    Frames are materialized per tick inside the scan (base + per-tick and
+    per-slot offsets behind an optimization_barrier) — the same
+    conservative input-write convention as the flagship bench.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vhr_tpu import serving
+    from vhr_tpu.pipeline import live
+    from vhr_tpu.pipeline.offline import _split_detector
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    H, W = (720, 1280) if on_tpu else (48, 64)
+
+    base, noise = _face_plate(H, W, seed=5)
+    base_d = jnp.asarray(base)
+    noise_d = jnp.asarray(noise)
+
+    rows = {}
+    if on_tpu:
+        from vhr_tpu.models.mediapipe_face import make_mediapipe_detector
+        mp_det = make_mediapipe_detector()
+        # (row, detector, slots, ticks/call, detect_every): cadence rows
+        # cond-skip the WHOLE batched detector on off-phase ticks (uniform
+        # pool predicate); the 64-slot row amortizes the conv fixed cost
+        # (sub-batches under ~64 frames pay it — CLAUDE.md perf lessons).
+        modes = [("skin_s16", None, 16, 512, 1),
+                 ("mediapipe_s16", mp_det, 16, 256, 1),
+                 ("mediapipe_s16_de8", mp_det, 16, 256, 8),
+                 ("mediapipe_s64", mp_det, 64, 96, 1),
+                 ("mediapipe_s64_de8", mp_det, 64, 96, 8)]
+    else:
+        modes = [("skin_s16", None, 3, 4, 1)]
+    for name, detector, S, T, de in modes:
+        cfg = live.LiveConfig(fps=30.0, detect_every=de)
+        det_fn, det_args = ((None, ()) if detector is None
+                            else _split_detector(detector))
+        active = jnp.ones((S,), bool)
+        reset = jnp.zeros((S,), bool)
+        slot_off = jnp.arange(S, dtype=jnp.uint16).reshape(S, 1, 1, 1) % 3
+
+        @jax.jit
+        def reps(state, seed, det_args):
+            def body(s, t):
+                fr = jnp.minimum(
+                    base_d[None].astype(jnp.uint16) + noise_d[None]
+                    + slot_off + (t % 4).astype(jnp.uint16),
+                    255).astype(jnp.uint8)
+                frames = jax.lax.optimization_barrier(
+                    jnp.broadcast_to(fr, (S, H, W, 3)))
+                s2, packed = serving._step_batched_impl(
+                    s, frames, active, reset, t.astype(jnp.int32),
+                    det_args, cfg, det_fn)
+                return s2, jnp.sum(packed[:, 0])
+            s, acc = jax.lax.scan(body, state,
+                                  jnp.arange(T, dtype=jnp.uint16)
+                                  + seed.astype(jnp.uint16))
+            return jnp.sum(acc)
+
+        def call(seed):
+            float(reps(serving.init_state_batched(cfg, S), seed, det_args))
+
+        call(jnp.uint8(0))                       # compile + warm
+        dt = _timed_median(call)
+        tick_ms = dt * 1e3 / T
+        rows[name] = {
+            "tick_ms": round(tick_ms, 3),
+            "slots": S,
+            "detect_every": de,
+            "aggregate_fps": round(S * T / dt, 1),
+            # one chip ticking flat out, each client at 30 fps:
+            "clients_at_30fps": int((S / 30.0) * (1e3 / tick_ms)),
+            "duty_cycle_at_30fps": round(tick_ms * 30.0 / 1e3, 3),
+        }
+
+    return {
+        "metric": "serving_pool_tick",
+        "unit": "ms per 16-slot 720p tick (one dispatch, all clients)",
+        "value": rows["skin_s16"]["tick_ms"],
+        "detectors": rows,
+        "config": {"h": H, "w": W,
+                   "note": ("per-slot semantics pinned equal to the single "
+                            "live step (tests/test_serving.py); capacity = "
+                            "slots * tick_rate / 30; detect_every=N rows "
+                            "cond-skip the whole batched detector on "
+                            "off-phase pool ticks")},
+    }
+
+
 # --- perf regression gate (VERDICT r2 #6) ----------------------------------
 
 # name -> (path into the result dict, relative tolerance, direction)
@@ -804,6 +900,10 @@ CHECKS = {
     "multistream_agg_fps": (("multistream", "aggregate_fps"), 0.5, +1),
     "mediapipe_farm_fps": (("multistream", "mediapipe_farm_aggregate_fps"),
                            0.5, +1),
+    "serving_tick_ms": (("serving", "value"), 0.5, -1),
+    "serving_mp64_de8_agg_fps": (("serving", "detectors",
+                                  "mediapipe_s64_de8", "aggregate_fps"),
+                                 0.5, +1),
 }
 BASELINE_FILE = "BENCH_BASELINES.json"
 
@@ -812,7 +912,8 @@ def _collect_check() -> dict:
     return {"flagship": bench_flagship(), "kernels": bench_kernels(),
             "live_latency": bench_live_latency(),
             "mediapipe": bench_mediapipe(),
-            "multistream": bench_multistream()}
+            "multistream": bench_multistream(),
+            "serving": bench_serving()}
 
 
 def run_check(record: bool) -> int:
@@ -889,6 +990,7 @@ def main() -> None:
                          ("multistream", bench_multistream),
                          ("kernels", bench_kernels),
                          ("mediapipe", bench_mediapipe),
+                         ("serving", bench_serving),
                          ("decode_e2e", bench_decode_e2e)):
             try:
                 detail[name] = fn()

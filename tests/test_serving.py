@@ -132,6 +132,85 @@ def test_pool_i420_transfer_matches_bgr(clip):
         assert abs(float(ob.green_raw) - float(op.green_raw)) < 1.5
 
 
+def test_serve_bpm_cli_smoke(clip):
+    """The CLI app end to end: bounded serve, one client, ordered
+    answers."""
+    import socket as sk
+    import time
+
+    from vhr_tpu.apps import serve_bpm
+
+    s = sk.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    h, w = clip.frames[0].shape[:2]
+    th = threading.Thread(target=serve_bpm.main, daemon=True, args=(
+        ["--host", "127.0.0.1", "--port", str(port), "--height", str(h),
+         "--width", str(w), "--slots", "2", "--fps", str(clip.fps),
+         "--max-seconds", "120"],))
+    th.start()
+    c = None
+    for _ in range(300):
+        try:
+            c = serving.BpmClient("127.0.0.1", port, timeout=60.0)
+            break
+        except OSError:
+            time.sleep(0.1)
+    assert c is not None, "server never came up"
+    n = 12
+    for f in clip.frames[:n]:
+        c.send(f)
+    outs = [c.recv() for _ in range(n)]
+    c.close()
+    assert [o["seq"] for o in outs] == list(range(n))
+    assert all("bpm" in o for o in outs)
+
+
+def test_pool_detect_every_matches_single(clip):
+    """detect_every=N on the pool cond-skips the whole batched detector on
+    off-phase ticks (pool-tick phase).  For always-active slots the pool
+    phase equals each slot's frame phase, so outputs match the single live
+    step with the same cadence."""
+    cfg = live.LiveConfig(fps=clip.fps, detect_every=4)
+    srv = serving.BpmServer(cfg, n_slots=2, donate=False)
+    a = srv.attach()
+    n = 40
+    outs = [srv.tick({a: f})[a] for f in clip.frames[:n]]
+    ref = _single_trace(cfg, clip.frames[:n])
+    np.testing.assert_allclose(
+        np.array([float(o.green_filtered) for o in outs]),
+        np.array([float(o.green_filtered) for o in ref]),
+        rtol=0, atol=5e-4)
+    assert ([bool(o.face_valid) for o in outs]
+            == [bool(o.face_valid) for o in ref])
+
+
+def test_pool_sharded_over_mesh(clip, clip2):
+    """mesh= shards the slot axis across devices (multi-chip serving, zero
+    steady-state collectives); outputs match the unsharded pool."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("slot",))
+    cfg = live.LiveConfig(fps=clip.fps)
+    srv_m = serving.BpmServer(cfg, n_slots=8, donate=False, mesh=mesh)
+    srv_1 = serving.BpmServer(cfg, n_slots=8, donate=False)
+    a_m, b_m = srv_m.attach(), srv_m.attach()
+    a_1, b_1 = srv_1.attach(), srv_1.attach()
+    n = 30
+    for fa, fb in zip(clip.frames[:n], clip2.frames[:n]):
+        om = srv_m.tick({a_m: fa, b_m: fb})
+        o1 = srv_1.tick({a_1: fa, b_1: fb})
+        for sm, s1 in ((a_m, a_1), (b_m, b_1)):
+            assert abs(float(om[sm].green_filtered)
+                       - float(o1[s1].green_filtered)) < 5e-4
+            assert bool(om[sm].face_valid) == bool(o1[s1].face_valid)
+    with pytest.raises(ValueError, match="divide"):
+        serving.BpmServer(cfg, n_slots=3, mesh=mesh)
+
+
 def test_tcp_server_two_clients(clip, clip2):
     """End-to-end over localhost TCP: two clients stream concurrently;
     every accepted frame is answered in order and both recover their

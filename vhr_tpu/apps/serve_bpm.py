@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     p.add_argument("--transfer", choices=("bgr", "i420"), default="bgr",
                    help="wire format clients must send (i420 = 2x fewer "
                         "bytes; see serving.py protocol)")
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="serve for a bounded time then exit (smoke tests, "
+                        "draining deploys); default: forever")
     args = p.parse_args(argv)
 
     from ..pipeline import live
@@ -58,7 +61,7 @@ def main(argv=None) -> int:
           f"({args.transfer}, detector={args.detector}) on {host}:{port}")
     try:
         import threading
-        threading.Event().wait()            # serve until interrupted
+        threading.Event().wait(args.max_seconds)   # None = forever
     except KeyboardInterrupt:
         pass
     finally:

@@ -62,7 +62,8 @@ def init_state_batched(cfg: LiveConfig, n_slots: int) -> LiveState:
 
 def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
                        active: jnp.ndarray, reset: jnp.ndarray,
-                       det_args, cfg: LiveConfig, det_fn
+                       pool_phase: jnp.ndarray, det_args,
+                       cfg: LiveConfig, det_fn
                        ) -> Tuple[LiveState, jnp.ndarray]:
     """One tick: advance all S slots from their (S, H, W, 3) frames.
 
@@ -73,10 +74,14 @@ def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
     - ``reset[s]``: zero slot s's state first (a client just attached).
     - ``active[s]``: slot s received a frame this tick; inactive slots
       advance nothing (no ring write, no budget drain, no frame_idx).
-    - detection runs ONCE over the whole (S,...) batch; with
-      ``detect_every > 1`` the per-slot phase gates *use* of the result
-      (serving ticks can't cond-skip compute for a mixed-phase batch —
-      the batch itself is the economy).
+    - detection runs ONCE over the whole (S,...) batch.  With
+      ``detect_every > 1`` the cadence phase is the POOL TICK counter
+      (``pool_phase``), not per-slot frame counts: slots tick in lockstep,
+      so the predicate is uniform and the whole detector pass cond-skips
+      on off-cadence ticks (real compute saving — the production detector
+      dominates the tick).  For always-active slots this is identical to
+      the single live step's per-frame phase; a slot that skips ticks
+      tracks the pool's cadence rather than its own.
     """
     S, H, W, _ = frames.shape
     sos = _sos(cfg)
@@ -85,15 +90,25 @@ def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
         lambda x: jnp.where(reset.reshape((S,) + (1,) * (x.ndim - 1)),
                             jnp.zeros_like(x), x), state)
 
-    if det_fn is None:
-        boxes, v_det = skin_detector.detect_faces(frames)
-    else:
-        boxes, v_det = det_fn(*det_args, frames)
-    boxes = boxes.astype(jnp.int32)                            # (S, 4)
+    def run_det(fr):
+        if det_fn is None:
+            b, v = skin_detector.detect_faces(fr)
+        else:
+            b, v = det_fn(*det_args, fr)
+        return b.astype(jnp.int32), v
 
-    attempt = jnp.logical_and(
-        jax.lax.rem(state.frame_idx, jnp.int32(cfg.detect_every)) == 0,
-        active)                                                # (S,)
+    if cfg.detect_every > 1:
+        pool_attempt = jax.lax.rem(
+            pool_phase.astype(jnp.int32), jnp.int32(cfg.detect_every)) == 0
+        boxes, v_det = jax.lax.cond(
+            pool_attempt, run_det,
+            lambda fr: (jnp.zeros((S, 4), jnp.int32),
+                        jnp.zeros((S,), bool)),
+            frames)
+        attempt = jnp.logical_and(pool_attempt, active)        # (S,)
+    else:
+        boxes, v_det = run_det(frames)
+        attempt = active
     v = jnp.logical_and(v_det, attempt)
 
     # Holdover with the cadence 'attempted' semantics (live._step_impl).
@@ -173,7 +188,11 @@ class BpmServer:
 
     def __init__(self, cfg: LiveConfig = LiveConfig(), n_slots: int = 8,
                  detector=None, transfer: str = "bgr",
-                 donate: bool = True):
+                 donate: bool = True, mesh=None, slot_axis: str = "slot"):
+        """``mesh``: shard the slot axis over a ``jax.sharding.Mesh`` —
+        multi-chip serving with zero steady-state collectives (slots are
+        independent; detection/DSP partition along the batch).  ``n_slots``
+        must divide evenly across the mesh."""
         if cfg.use_fused:
             raise ValueError("the serving pool runs the batched detector "
                              "path; use_fused is single-stream "
@@ -190,8 +209,17 @@ class BpmServer:
         self._attached = [False] * n_slots
         self._needs_reset = np.zeros((n_slots,), bool)
         self._state = init_state_batched(cfg, n_slots)
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_mesh = int(np.prod(mesh.devices.shape))
+            if n_slots % n_mesh:
+                raise ValueError(f"n_slots={n_slots} must divide across "
+                                 f"the {n_mesh}-device mesh")
+            self._sharding = NamedSharding(mesh, P(slot_axis))
+            self._state = jax.device_put(self._state, self._sharding)
 
-        def f(state, frames, active, reset, args):
+        def f(state, frames, active, reset, phase, args):
             if self._i420:
                 from .ops import color as vcolor
                 S = frames.shape[0]
@@ -199,11 +227,13 @@ class BpmServer:
                 w = frames.shape[2]
                 flat = vcolor.i420_to_bgr_flat(frames.reshape(S, -1), h, w)
                 frames = flat.reshape(S, h, w, 3)
-            return _step_batched_impl(state, frames, active, reset,
+            return _step_batched_impl(state, frames, active, reset, phase,
                                       args, cfg, det_fn)
 
         jitted = jax.jit(f, donate_argnums=(0,) if donate else ())
-        self._step = lambda s, fr, ac, rs: jitted(s, fr, ac, rs, det_args)
+        self._step = lambda s, fr, ac, rs, ph: jitted(s, fr, ac, rs, ph,
+                                                      det_args)
+        self._tick_count = 0      # pool cadence phase (detect_every)
         self._frame_shape: Optional[tuple] = None
 
     def attach(self) -> int:
@@ -247,9 +277,15 @@ class BpmServer:
         with self._lock:
             reset = self._needs_reset.copy()
             self._needs_reset[:] = False
-        self._state, packed = self._step(
-            self._state, jnp.asarray(batch), jnp.asarray(active),
-            jnp.asarray(reset))
+        b, ac, rs = (jnp.asarray(batch), jnp.asarray(active),
+                     jnp.asarray(reset))
+        if self._sharding is not None:
+            b = jax.device_put(b, self._sharding)
+            ac = jax.device_put(ac, self._sharding)
+            rs = jax.device_put(rs, self._sharding)
+        self._state, packed = self._step(self._state, b, ac, rs,
+                                         jnp.int32(self._tick_count))
+        self._tick_count += 1
         a = np.asarray(packed)                      # ONE blocking fetch
         return {s: _unpack(a[s]) for s in frames}
 
