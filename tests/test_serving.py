@@ -107,6 +107,33 @@ def test_pool_skipped_tick_holds_state(clip):
         rtol=0, atol=5e-4)   # float32 reassociation across the batched vmap
 
 
+def test_pool_snapshot_restore_roundtrip(clip, tmp_path):
+    """snapshot() mid-stream + restore() into a FRESH server continues the
+    trace exactly (np.savez roundtrip included) — server restarts don't
+    lose the 10-30 s acquisition warm-up."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    srv = serving.BpmServer(cfg, n_slots=2, donate=False)
+    a = srv.attach()
+    cut = 60
+    first = [srv.tick({a: f})[a] for f in clip.frames[:cut]]
+    np.savez(tmp_path / "pool.npz", **srv.snapshot())
+
+    srv2 = serving.BpmServer(cfg, n_slots=2, donate=False)
+    with np.load(tmp_path / "pool.npz") as snap:
+        srv2.restore(snap)
+    assert srv2.active_slots == [a]
+    rest = [srv2.tick({a: f})[a] for f in clip.frames[cut:]]
+
+    ref = _single_trace(cfg, clip.frames)
+    got = first + rest
+    np.testing.assert_allclose(
+        np.array([float(o.green_filtered) for o in got]),
+        np.array([float(o.green_filtered) for o in ref]),
+        rtol=0, atol=5e-4)
+    assert ([bool(o.bpm_valid) for o in got]
+            == [bool(o.bpm_valid) for o in ref])
+
+
 def test_pool_slot_exhaustion_and_geometry():
     cfg = live.LiveConfig(fps=10.0)
     srv = serving.BpmServer(cfg, n_slots=1, donate=False)
@@ -184,6 +211,39 @@ def test_pool_detect_every_matches_single(clip):
         rtol=0, atol=5e-4)
     assert ([bool(o.face_valid) for o in outs]
             == [bool(o.face_valid) for o in ref])
+
+
+def test_pool_multiface_matches_single():
+    """k_faces=2 slots run the K-track identity-matched holdover per slot;
+    outputs (leading (K,) axis) match the single-client step_multi."""
+    from vhr_tpu.utils.synth import FaceSpec, synthesize_multi
+
+    duo = synthesize_multi(
+        (FaceSpec(center=(0.25, 0.45), bpm=66.0),
+         FaceSpec(center=(0.72, 0.5), bpm=90.0)),
+        duration_s=4.0)
+    cfg = live.LiveConfig(fps=duo.fps)
+    srv = serving.BpmServer(cfg, n_slots=2, donate=False, k_faces=2)
+    a = srv.attach()
+    outs = [srv.tick({a: f})[a] for f in duo.frames]
+
+    st = live.init_state_multi(cfg, 2)
+    stp = live.make_step_multi(cfg, 2, donate=False)
+    refs = []
+    for f in duo.frames:
+        st, o = stp(st, jnp.asarray(f))
+        refs.append(o)
+    np.testing.assert_allclose(
+        np.stack([np.asarray(o.green_filtered) for o in outs]),
+        np.stack([np.asarray(o.green_filtered) for o in refs]),
+        rtol=1e-4, atol=1e-3)   # float32 reassociation (batched vmap)
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(o.face_valid) for o in outs]),
+        np.stack([np.asarray(o.face_valid) for o in refs]))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(o.box) for o in outs]),
+        np.stack([np.asarray(o.box) for o in refs]))
+    assert outs[-1].box.shape == (2, 4)
 
 
 def test_pool_sharded_over_mesh(clip, clip2):

@@ -36,24 +36,40 @@ def main(argv=None) -> int:
                    help="skin|landmarker|landmarker-real|refined|mediapipe|"
                         "mediapipe-bf16|mediapipe-exact")
     p.add_argument("--detect-every", type=int, default=1,
-                   help="detection cadence per slot (tracking holds "
-                        "between attempts)")
+                   help="pool-tick detection cadence (the whole batched "
+                        "detector pass cond-skips off-phase ticks; "
+                        "tracking holds between attempts)")
+    p.add_argument("--faces", type=int, default=1,
+                   help="subjects monitored per client slot (K-track "
+                        "identity-matched holdover)")
     p.add_argument("--transfer", choices=("bgr", "i420"), default="bgr",
                    help="wire format clients must send (i420 = 2x fewer "
                         "bytes; see serving.py protocol)")
     p.add_argument("--max-seconds", type=float, default=None,
                    help="serve for a bounded time then exit (smoke tests, "
                         "draining deploys); default: forever")
+    p.add_argument("--restore", default=None, metavar="NPZ",
+                   help="restore pool state from a snapshot (.npz) — "
+                        "clients resume mid-acquisition after a restart")
+    p.add_argument("--snapshot-on-exit", default=None, metavar="NPZ",
+                   help="save pool state on shutdown (pair with --restore)")
     args = p.parse_args(argv)
 
     from ..pipeline import live
     from ..serving import BpmServer, serve_forever
-    from .rppg_video import _resolve_detector
+    from .rppg_video import _resolve_detector, _resolve_detector_multi
 
-    detector = _resolve_detector(args.detector)
+    detector = (_resolve_detector(args.detector) if args.faces == 1
+                else _resolve_detector_multi(args.detector, args.faces))
     cfg = live.LiveConfig(fps=args.fps, detect_every=args.detect_every)
     pool = BpmServer(cfg, n_slots=args.slots, detector=detector,
-                     transfer=args.transfer)
+                     transfer=args.transfer, k_faces=args.faces)
+    if args.restore:
+        import numpy as np
+        with np.load(args.restore) as snap:
+            pool.restore(snap)
+        print(f"restored pool state from {args.restore} "
+              f"({len(pool.active_slots)} live slots)")
     srv = serve_forever(args.host, args.port, pool,
                         frame_shape=(args.height, args.width))
     host, port = srv.server_address[:2]
@@ -66,6 +82,10 @@ def main(argv=None) -> int:
         pass
     finally:
         srv.shutdown()
+        if args.snapshot_on_exit:
+            import numpy as np
+            np.savez(args.snapshot_on_exit, **pool.snapshot())
+            print(f"pool state -> {args.snapshot_on_exit}")
     return 0
 
 

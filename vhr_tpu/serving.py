@@ -46,16 +46,20 @@ from .dsp import filters
 from .models import skin_detector
 from .ops import reduce as vreduce
 from .ops import roi as vroi
-from .pipeline.live import (LiveConfig, LiveOutput, LiveState, _masked_welch_bpm,
-                            _sos, init_state)
+from .pipeline.live import (LiveConfig, LiveOutput, LiveState,
+                            MultiLiveState, _masked_welch_bpm, _sos,
+                            init_state, init_state_multi)
 
 __all__ = ["BpmServer", "init_state_batched", "serve_forever", "BpmClient"]
 
 
-def init_state_batched(cfg: LiveConfig, n_slots: int) -> LiveState:
-    """A :class:`LiveState` with a leading ``(S,)`` slot axis (all zeros —
-    the single-slot init broadcast, so a zeroed slot IS a fresh slot)."""
-    one = init_state(cfg)
+def init_state_batched(cfg: LiveConfig, n_slots: int,
+                       k_faces: int = 1):
+    """A :class:`LiveState` (or :class:`MultiLiveState` for
+    ``k_faces > 1``) with a leading ``(S,)`` slot axis (all zeros — the
+    single-slot init broadcast, so a zeroed slot IS a fresh slot)."""
+    one = (init_state(cfg) if k_faces == 1
+           else init_state_multi(cfg, k_faces))
     return jax.tree.map(
         lambda x: jnp.zeros((n_slots,) + x.shape, x.dtype), one)
 
@@ -163,6 +167,94 @@ def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
     return new_state, packed
 
 
+def _step_multi_batched_impl(state: MultiLiveState, frames: jnp.ndarray,
+                             active: jnp.ndarray, reset: jnp.ndarray,
+                             pool_phase: jnp.ndarray, det_args,
+                             cfg: LiveConfig, k_faces: int, det_fn
+                             ) -> Tuple[MultiLiveState, jnp.ndarray]:
+    """K-subject variant of :func:`_step_batched_impl`: each slot monitors
+    ``k_faces`` subjects (``pipeline.live._step_multi_impl`` semantics,
+    lifted to a leading slot axis).  Detection is one flat (S,...) batch;
+    the identity-matched K-track holdover is vmapped pure math per slot.
+    """
+    S, H, W, _ = frames.shape
+    K = k_faces
+    sos = _sos(cfg)
+
+    state = jax.tree.map(
+        lambda x: jnp.where(reset.reshape((S,) + (1,) * (x.ndim - 1)),
+                            jnp.zeros_like(x), x), state)
+
+    def run_det(fr):
+        if det_fn is None:
+            from .models.multiface import detect_faces_multi
+            b, v = detect_faces_multi(fr, K)
+        else:
+            b, v = det_fn(*det_args, fr)
+        return b.astype(jnp.int32), v                          # (S,K,4),(S,K)
+
+    if cfg.detect_every > 1:
+        pool_attempt = jax.lax.rem(
+            pool_phase.astype(jnp.int32), jnp.int32(cfg.detect_every)) == 0
+        cand, cval = jax.lax.cond(
+            pool_attempt, run_det,
+            lambda fr: (jnp.zeros((S, K, 4), jnp.int32),
+                        jnp.zeros((S, K), bool)),
+            frames)
+        attempt = jnp.logical_and(pool_attempt, active)        # (S,)
+    else:
+        cand, cval = run_det(frames)
+        attempt = active
+
+    carry = (state.last_box, state.hold_budget, state.has_last)
+    (new_last, new_budget, new_has), (boxes, face_valid) = jax.vmap(
+        lambda c, cd, cv, at: vroi.holdover_multi_step(
+            c, cd, cv, cfg.roi.landmark_hold_frames, attempted=at))(
+        carry, cand, cval, attempt)
+    face_valid = jnp.logical_and(face_valid, active[:, None])  # (S,K)
+
+    rois = vroi.measurement_roi(boxes.reshape(S * K, 4), cfg.roi, W, H,
+                                cfg.roi_site).reshape(S, K, 4)
+    rois = jnp.where(face_valid[..., None], rois, 0)
+    # One frame read per slot for all K ROIs (roi_channel_means_multi).
+    means, _ = vreduce.roi_channel_means_multi(frames, rois)   # (S,K,3)
+    green = means[..., 1]                                      # (S,K)
+
+    filt, zi = jax.vmap(jax.vmap(
+        lambda z, g: filters.sos_stream_push(sos, z, g)))(state.zi, green)
+
+    ptr = jnp.mod(state.count, cfg.ring_len)                   # (S,K)
+    s_idx = jnp.arange(S)[:, None]
+    k_idx = jnp.arange(K)[None, :]
+    ring_raw = jnp.where(face_valid[..., None],
+                         state.ring_raw.at[s_idx, k_idx, ptr].set(green),
+                         state.ring_raw)
+    ring_filt = jnp.where(face_valid[..., None],
+                          state.ring_filt.at[s_idx, k_idx, ptr].set(filt),
+                          state.ring_filt)
+    count = state.count + face_valid.astype(jnp.int32)
+    zi = jnp.where(face_valid[..., None, None], zi, state.zi)
+
+    n_valid = jnp.minimum(count, cfg.ring_len)
+    ordered = jax.vmap(jax.vmap(lambda r, s: jnp.roll(r, -s)))(
+        ring_filt, jnp.mod(count, cfg.ring_len))
+    bpm, bpm_valid = jax.vmap(jax.vmap(
+        lambda o, n: _masked_welch_bpm(o, n, cfg.fps, cfg.band,
+                                       cfg.welch_segment_seconds)))(
+        ordered, n_valid)
+
+    new_state = MultiLiveState(
+        ring_raw=ring_raw, ring_filt=ring_filt, count=count, zi=zi,
+        last_box=new_last, hold_budget=new_budget, has_last=new_has,
+        frame_idx=state.frame_idx + active.astype(jnp.int32))
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    packed = jnp.concatenate([
+        jnp.stack([f32(bpm), f32(bpm_valid), f32(green),
+                   f32(filt), f32(face_valid)], axis=-1),
+        f32(boxes)], axis=-1)                                  # (S, K, 9)
+    return new_state, packed
+
+
 def _unpack(a: np.ndarray) -> LiveOutput:
     return LiveOutput(bpm=a[..., 0], bpm_valid=a[..., 1] > 0.5,
                       green_raw=a[..., 2], green_filtered=a[..., 3],
@@ -188,11 +280,18 @@ class BpmServer:
 
     def __init__(self, cfg: LiveConfig = LiveConfig(), n_slots: int = 8,
                  detector=None, transfer: str = "bgr",
-                 donate: bool = True, mesh=None, slot_axis: str = "slot"):
+                 donate: bool = True, mesh=None, slot_axis: str = "slot",
+                 k_faces: int = 1):
         """``mesh``: shard the slot axis over a ``jax.sharding.Mesh`` —
         multi-chip serving with zero steady-state collectives (slots are
         independent; detection/DSP partition along the batch).  ``n_slots``
-        must divide evenly across the mesh."""
+        must divide evenly across the mesh.
+
+        ``k_faces > 1``: every slot monitors K subjects (the reference
+        *requests* ``num_faces=2`` but uses one face,
+        ``rppg_LIVESTREAM.py:308,339``); outputs gain a leading ``(K,)``
+        axis per slot and ``detector`` must follow the multi-face contract
+        (``frames -> (boxes (S, K, 4), valid (S, K))``)."""
         if cfg.use_fused:
             raise ValueError("the serving pool runs the batched detector "
                              "path; use_fused is single-stream "
@@ -204,11 +303,12 @@ class BpmServer:
         det_fn, det_args = (None, ()) if detector is None else _split(detector)
         self.cfg = cfg
         self.n_slots = n_slots
+        self.k_faces = k_faces
         self._i420 = transfer == "i420"
         self._lock = threading.Lock()
         self._attached = [False] * n_slots
         self._needs_reset = np.zeros((n_slots,), bool)
-        self._state = init_state_batched(cfg, n_slots)
+        self._state = init_state_batched(cfg, n_slots, k_faces)
         self._sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -227,6 +327,10 @@ class BpmServer:
                 w = frames.shape[2]
                 flat = vcolor.i420_to_bgr_flat(frames.reshape(S, -1), h, w)
                 frames = flat.reshape(S, h, w, 3)
+            if k_faces > 1:
+                return _step_multi_batched_impl(state, frames, active,
+                                                reset, phase, args, cfg,
+                                                k_faces, det_fn)
             return _step_batched_impl(state, frames, active, reset, phase,
                                       args, cfg, det_fn)
 
@@ -254,6 +358,35 @@ class BpmServer:
     def active_slots(self) -> list:
         with self._lock:
             return [s for s in range(self.n_slots) if self._attached[s]]
+
+    def snapshot(self) -> dict:
+        """Serializable pool state (host numpy): every slot's rings, SOS
+        state, tracks, plus the attach map and cadence phase.  A server
+        restart restores mid-acquisition windows instead of losing the
+        10-30 s warm-up (the checkpoint/resume story of SURVEY §5, lifted
+        to serving).  Save with ``np.savez(path, **snap)``."""
+        with self._lock:
+            leaves, treedef = jax.tree.flatten(self._state)
+            snap = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
+            snap["attached"] = np.asarray(self._attached)
+            snap["needs_reset"] = self._needs_reset.copy()
+            snap["tick_count"] = np.int64(self._tick_count)
+            return snap
+
+    def restore(self, snap: dict) -> None:
+        """Inverse of :meth:`snapshot` (accepts an ``np.load`` mapping)."""
+        with self._lock:
+            leaves, treedef = jax.tree.flatten(self._state)
+            new = [jnp.asarray(np.asarray(snap[f"leaf{i}"]),
+                               leaves[i].dtype)
+                   for i in range(len(leaves))]
+            state = jax.tree.unflatten(treedef, new)
+            if self._sharding is not None:
+                state = jax.device_put(state, self._sharding)
+            self._state = state
+            self._attached = [bool(b) for b in np.asarray(snap["attached"])]
+            self._needs_reset = np.asarray(snap["needs_reset"]).copy()
+            self._tick_count = int(snap["tick_count"])
 
     def tick(self, frames: Dict[int, np.ndarray]) -> Dict[int, LiveOutput]:
         """Advance every slot that supplied a frame; one device dispatch,
@@ -363,14 +496,21 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
                 time.sleep(0.001)
                 continue
             outs = self.pool.tick(frames)
+            multi = self.pool.k_faces > 1
             for c in outs_for:
                 o = outs[c.slot]
-                line = json.dumps({
-                    "seq": c.seq, "bpm": round(float(o.bpm), 4),
-                    "bpm_valid": bool(o.bpm_valid),
-                    "face_valid": bool(o.face_valid),
-                    "box": [int(x) for x in np.asarray(o.box)],
-                }) + "\n"
+                if multi:   # one entry per monitored subject (K,)
+                    msg = {"seq": c.seq,
+                           "bpm": np.round(np.asarray(o.bpm), 4).tolist(),
+                           "bpm_valid": np.asarray(o.bpm_valid).tolist(),
+                           "face_valid": np.asarray(o.face_valid).tolist(),
+                           "box": np.asarray(o.box).tolist()}
+                else:
+                    msg = {"seq": c.seq, "bpm": round(float(o.bpm), 4),
+                           "bpm_valid": bool(o.bpm_valid),
+                           "face_valid": bool(o.face_valid),
+                           "box": [int(x) for x in np.asarray(o.box)]}
+                line = json.dumps(msg) + "\n"
                 c.seq += 1
                 try:
                     c.wfile.write(line.encode())
