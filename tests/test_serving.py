@@ -271,6 +271,38 @@ def test_pool_sharded_over_mesh(clip, clip2):
         serving.BpmServer(cfg, n_slots=3, mesh=mesh)
 
 
+def test_tcp_server_survives_malformed_clients(clip):
+    """Garbage hello and wrong-length frames get an error line and a clean
+    hangup; the pool and other clients are unaffected."""
+    import json as js
+    import socket as sk
+    import struct
+
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=2, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2])
+    port = srv.server_address[1]
+
+    bad1 = sk.create_connection(("127.0.0.1", port), timeout=30)
+    bad1.sendall(b"not json at all\n")
+    assert "error" in js.loads(bad1.makefile("rb").readline().decode())
+    bad1.close()
+
+    bad2 = serving.BpmClient("127.0.0.1", port)
+    bad2.sock.sendall(struct.pack("<I", 13) + b"x" * 13)   # wrong length
+    line = js.loads(bad2.rfile.readline().decode())
+    assert "error" in line and "13" in line["error"]
+
+    good = serving.BpmClient("127.0.0.1", port)
+    for f in clip.frames[:5]:
+        good.send(f)
+    outs = [good.recv() for _ in range(5)]
+    assert [o["seq"] for o in outs] == list(range(5))
+    good.close()
+    srv.shutdown()
+
+
 def test_tcp_server_two_clients(clip, clip2):
     """End-to-end over localhost TCP: two clients stream concurrently;
     every accepted frame is answered in order and both recover their

@@ -136,26 +136,36 @@ def _masked_welch_bpm(ordered: jnp.ndarray, n_valid: jnp.ndarray,
     segs = segs - total
     segs = segs - jnp.mean(segs, axis=-1, keepdims=True)     # detrend const
 
+    # Banded DFT as two dense matmuls instead of a full rfft: the peak
+    # search only needs the in-band bins (~17 of 136 at 30 fps / 9 s
+    # segments), and TPU FFTs of small odd lengths pay fixed overhead
+    # every frame — this Welch IS the live step's compute floor once
+    # detection is cadenced (docs/PERFORMANCE.md).  Same windowing,
+    # scaling, and bin grid as scipy's welch; the argmax bin (hence the
+    # BPM) is unchanged (pinned vs scipy in tests/test_live.py).
     win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(nperseg) / nperseg)
-    win_j = jnp.asarray(win, jnp.float32)
-    spec = jnp.fft.rfft(segs * win_j, axis=-1)
-    psd = spec.real**2 + spec.imag**2
+    freqs = np.fft.rfftfreq(nperseg, d=1.0 / fps)
+    band_idx = np.where((freqs >= band.low_hz) & (freqs <= band.high_hz))[0]
+    if band_idx.size == 0:               # degenerate band/fps config
+        return jnp.float32(0.0), jnp.asarray(False)
+    ang = (2.0 * np.pi / nperseg) * np.outer(np.arange(nperseg), band_idx)
+    cos_m = jnp.asarray(np.cos(ang) * win[:, None], jnp.float32)  # (L, B)
+    sin_m = jnp.asarray(np.sin(ang) * win[:, None], jnp.float32)
+    re = segs @ cos_m                                        # (S, B)
+    im = segs @ sin_m
     scale = 1.0 / (fps * float(np.sum(win * win)))
-    doubling = np.ones(psd.shape[-1])
+    doubling = np.full(freqs.shape, 2.0)
+    doubling[0] = 1.0
     if nperseg % 2 == 0:
-        doubling[1:-1] = 2.0
-    else:
-        doubling[1:] = 2.0
-    psd = psd * (scale * jnp.asarray(doubling, jnp.float32))
+        doubling[-1] = 1.0
+    psd = (re * re + im * im) * jnp.asarray(
+        scale * doubling[band_idx], jnp.float32)
 
     w = seg_ok.astype(jnp.float32)[:, None]
     mean_psd = jnp.sum(psd * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
-    freqs = np.fft.rfftfreq(nperseg, d=1.0 / fps)
-    mask = jnp.asarray((freqs >= band.low_hz) & (freqs <= band.high_hz))
-    banded = jnp.where(mask, mean_psd, -jnp.inf)
-    k = jnp.argmax(banded)
-    bpm = jnp.asarray(freqs, jnp.float32)[k] * 60.0
+    k = jnp.argmax(mean_psd)
+    bpm = jnp.asarray(freqs[band_idx], jnp.float32)[k] * 60.0
     valid = jnp.logical_and(jnp.any(seg_ok), n_valid >= nperseg)
     return bpm, valid
 

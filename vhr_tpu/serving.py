@@ -526,8 +526,20 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
 class _BpmHandler(socketserver.StreamRequestHandler):
     def handle(self):
         srv: _BpmTCPServer = self.server
-        hello = json.loads(self.rfile.readline().decode() or "{}")
-        transfer = hello.get("transfer", "bgr")
+        try:
+            hello = json.loads(self.rfile.readline().decode() or "{}")
+            transfer = hello.get("transfer", "bgr")
+            if transfer not in ("bgr", "i420"):
+                raise ValueError(f"unknown transfer {transfer!r}")
+        except (ValueError, UnicodeDecodeError) as e:
+            # Malformed hello: answer and hang up; the pool is untouched.
+            try:
+                self.wfile.write(
+                    (json.dumps({"error": f"bad hello: {e}"}) + "\n")
+                    .encode())
+            except OSError:
+                pass
+            return
         h, w = srv.frame_shape
         nbytes = (h * 3 // 2) * w if transfer == "i420" else h * w * 3
         shape = ((h * 3 // 2, w) if transfer == "i420" else (h, w, 3))
@@ -549,11 +561,17 @@ class _BpmHandler(socketserver.StreamRequestHandler):
                 if n == 0:
                     break
                 if n != nbytes:
-                    raise ValueError(f"frame payload {n} != expected "
-                                     f"{nbytes} for {transfer}")
+                    try:
+                        self.wfile.write((json.dumps(
+                            {"error": f"frame payload {n} != expected "
+                                      f"{nbytes} for {transfer}"}) + "\n")
+                            .encode())
+                    except OSError:
+                        pass
+                    break               # hang up; queued frames still drain
                 raw = _read_exact(self.rfile, n)
                 conn.inbox.put(np.frombuffer(raw, np.uint8).reshape(shape))
-        except (EOFError, OSError, ValueError):
+        except (EOFError, OSError):
             pass
         finally:
             # The tick loop owns slot release: it drains the inbox (every
