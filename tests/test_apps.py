@@ -160,3 +160,17 @@ def test_livestream_plot_out(tmp_path):
     assert rc == 0
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 5000
+
+
+def test_livestream_profile_trace(clip_file, tmp_path):
+    """--profile-trace wraps the run in a jax.profiler device trace
+    (SURVEY §5: the reference never times anything; tracing is product
+    surface here)."""
+    from vhr_tpu.apps import rppg_livestream
+    trace_dir = tmp_path / "trace"
+    rc = rppg_livestream.main(["--video", str(clip_file["path"]),
+                               "--no-display", "--max-frames", "12",
+                               "--profile-trace", str(trace_dir)])
+    assert rc == 0
+    produced = list(trace_dir.rglob("*"))
+    assert any(p.is_file() for p in produced), produced

@@ -174,6 +174,9 @@ def main(argv=None) -> int:
     p.add_argument("--plot-out", default=None, metavar="PNG",
                    help="write the signal panel to this file on exit "
                         "(works headless)")
+    p.add_argument("--profile-trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run "
+                        "into DIR (view with TensorBoard)")
     p.add_argument("--sync", action="store_true",
                    help="read each frame's output before grabbing the next "
                         "(default is 1-frame-deep pipelining: dispatch N+1 "
@@ -244,13 +247,19 @@ def main(argv=None) -> int:
                 "--frames-per-call/--fetch-every batching")
     if args.plot and args.no_display and plot_out is None:
         plot_out = "livestream_signals.png"
-    return run(source, cfg, max_frames=args.max_frames,
-               display=not args.no_display, k_faces=args.faces,
-               detector=detector, pipelined=not args.sync,
-               plot=args.plot, plot_out=plot_out, transfer=args.transfer,
-               ingest_downsample=args.ingest_downsample,
-               fetch_every=args.fetch_every,
-               frames_per_call=args.frames_per_call)
+    import contextlib
+    stack = contextlib.ExitStack()
+    if args.profile_trace:
+        from ..utils.profiling import device_trace
+        stack.enter_context(device_trace(args.profile_trace))
+    with stack:
+        return run(source, cfg, max_frames=args.max_frames,
+                   display=not args.no_display, k_faces=args.faces,
+                   detector=detector, pipelined=not args.sync,
+                   plot=args.plot, plot_out=plot_out, transfer=args.transfer,
+                   ingest_downsample=args.ingest_downsample,
+                   fetch_every=args.fetch_every,
+                   frames_per_call=args.frames_per_call)
 
 
 if __name__ == "__main__":

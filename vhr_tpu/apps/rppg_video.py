@@ -294,31 +294,41 @@ def main(argv=None) -> int:
     p.add_argument("--detect-every", type=int, default=1, metavar="N",
                    help="run face detection every N frames, holdover "
                         "tracking in between")
+    p.add_argument("--profile-trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "analysis into DIR (view with TensorBoard)")
     args = p.parse_args(argv)
 
-    path = args.video or pick_video(args.videos_dir)
-    if args.faces > 1:
-        results = analyze_multi(
-            path, args.faces,
-            detector=_resolve_detector_multi(args.detector, args.faces),
-            detect_every=args.detect_every)
-        ok = results["bpm_valid"]
-        for k in range(args.faces):
-            idx = np.nonzero(ok[:, k])[0]
-            if len(idx):
-                print(f"face{k} BPM: {results['bpm'][idx[-1], k]:.2f}")
-        render_multi(results, args.out_dir)
+    import contextlib
+    stack = contextlib.ExitStack()
+    if args.profile_trace:
+        from ..utils.profiling import device_trace
+        stack.enter_context(device_trace(args.profile_trace))
+
+    with stack:
+        path = args.video or pick_video(args.videos_dir)
+        if args.faces > 1:
+            results = analyze_multi(
+                path, args.faces,
+                detector=_resolve_detector_multi(args.detector, args.faces),
+                detect_every=args.detect_every)
+            ok = results["bpm_valid"]
+            for k in range(args.faces):
+                idx = np.nonzero(ok[:, k])[0]
+                if len(idx):
+                    print(f"face{k} BPM: {results['bpm'][idx[-1], k]:.2f}")
+            render_multi(results, args.out_dir)
+            return 0
+        results = analyze(path, detector=_resolve_detector(args.detector),
+                          detect_every=args.detect_every)
+        last = np.nonzero(results["valid_butterworth"])[0]
+        if len(last):
+            i = last[-1]
+            print(f"BPM Butterworth: {results['bpm_butterworth'][i]:.2f} | "
+                  f"Cheby2: {results['bpm_cheby2'][i]:.2f} | "
+                  f"FIR: {results['bpm_fir'][i]:.2f}")
+        render(results, args.out_dir, show=args.show)
         return 0
-    results = analyze(path, detector=_resolve_detector(args.detector),
-                      detect_every=args.detect_every)
-    last = np.nonzero(results["valid_butterworth"])[0]
-    if len(last):
-        i = last[-1]
-        print(f"BPM Butterworth: {results['bpm_butterworth'][i]:.2f} | "
-              f"Cheby2: {results['bpm_cheby2'][i]:.2f} | "
-              f"FIR: {results['bpm_fir'][i]:.2f}")
-    render(results, args.out_dir, show=args.show)
-    return 0
 
 
 if __name__ == "__main__":
