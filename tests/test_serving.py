@@ -289,6 +289,17 @@ def test_tcp_server_survives_malformed_clients(clip):
     assert "error" in js.loads(bad1.makefile("rb").readline().decode())
     bad1.close()
 
+    # Valid JSON but not an object -- still a clean error line.
+    bad1b = sk.create_connection(("127.0.0.1", port), timeout=30)
+    bad1b.sendall(b"[1, 2, 3]\n")
+    assert "error" in js.loads(bad1b.makefile("rb").readline().decode())
+    bad1b.close()
+
+    # Wrong wire format for this pool: rejected at hello (a mismatched
+    # client would otherwise crash the tick with a geometry error).
+    with pytest.raises(ConnectionError, match="transfer"):
+        serving.BpmClient("127.0.0.1", port, transfer="i420")
+
     bad2 = serving.BpmClient("127.0.0.1", port)
     bad2.sock.sendall(struct.pack("<I", 13) + b"x" * 13)   # wrong length
     line = js.loads(bad2.rfile.readline().decode())
@@ -301,6 +312,47 @@ def test_tcp_server_survives_malformed_clients(clip):
     assert [o["seq"] for o in outs] == list(range(5))
     good.close()
     srv.shutdown()
+
+
+def test_tcp_resume_slot_after_restore(clip):
+    """A client reclaims its warm slot over TCP after a snapshot/restore
+    'restart': the resumed stream continues the acquisition instead of
+    starting over, and double-resume of the same slot is refused."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=2, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2])
+    port = srv.server_address[1]
+    cut = 100
+    c = serving.BpmClient("127.0.0.1", port)
+    slot = c.slot
+    for f in clip.frames[:cut]:
+        c.send(f)
+    outs1 = [c.recv() for _ in range(cut)]
+    snap = pool.snapshot()
+    srv.shutdown()
+
+    pool2 = serving.BpmServer(cfg, n_slots=2, donate=False)
+    pool2.restore(snap)
+    srv2 = serving.serve_forever("127.0.0.1", 0, pool2,
+                                 frame_shape=clip.frames[0].shape[:2])
+    port2 = srv2.server_address[1]
+    c2 = serving.BpmClient("127.0.0.1", port2, resume_slot=slot)
+    assert c2.slot == slot
+    with pytest.raises(ConnectionError, match="not resumable"):
+        serving.BpmClient("127.0.0.1", port2, resume_slot=slot)
+    for f in clip.frames[cut:]:
+        c2.send(f)
+    outs2 = [c2.recv() for _ in range(len(clip.frames) - cut)]
+    c2.close()
+    srv2.shutdown()
+
+    ref = _single_trace(cfg, clip.frames)
+    got = outs1 + outs2
+    np.testing.assert_allclose(
+        np.array([o["bpm"] for o in got]),
+        np.array([float(r.bpm) for r in ref]), rtol=0, atol=1e-3)
+    assert [o["bpm_valid"] for o in got] == [bool(r.bpm_valid) for r in ref]
 
 
 def test_tcp_server_two_clients(clip, clip2):

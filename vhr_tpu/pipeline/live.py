@@ -29,7 +29,29 @@ from ..ops import roi as vroi
 
 __all__ = ["LiveConfig", "LiveState", "LiveOutput", "init_state", "step",
            "make_step", "MultiLiveState", "init_state_multi", "step_multi",
-           "make_step_multi", "LivePipeline", "bgr_to_i420_host"]
+           "make_step_multi", "LivePipeline", "bgr_to_i420_host",
+           "pack_output", "unpack_output"]
+
+
+def pack_output(o: "LiveOutput") -> "jnp.ndarray":
+    """LiveOutput -> one ``(..., 9)`` float32 tensor (in-jit), so the whole
+    step result crosses the link as ONE fetch — per-field fetches cost a
+    round trip each.  Inverse: :func:`unpack_output`.  Shared by the live
+    pipeline and the serving pool (the 9-slot layout is load-bearing in
+    both)."""
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return jnp.concatenate([
+        jnp.stack([f32(o.bpm), f32(o.bpm_valid), f32(o.green_raw),
+                   f32(o.green_filtered), f32(o.face_valid)], axis=-1),
+        f32(o.box)], axis=-1)
+
+
+def unpack_output(a: "np.ndarray") -> "LiveOutput":
+    """Inverse of :func:`pack_output` (host side)."""
+    return LiveOutput(bpm=a[..., 0], bpm_valid=a[..., 1] > 0.5,
+                      green_raw=a[..., 2], green_filtered=a[..., 3],
+                      box=a[..., 5:9].astype(np.int32),
+                      face_valid=a[..., 4] > 0.5)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -423,13 +445,7 @@ class LivePipeline:
                                          det_fn)
             else:
                 s2, o = _step_impl(state, frame, args, cfg, det_fn)
-            f32 = lambda x: jnp.asarray(x, jnp.float32)
-            vec = jnp.concatenate([
-                jnp.stack([f32(o.bpm), f32(o.bpm_valid), f32(o.green_raw),
-                           f32(o.green_filtered), f32(o.face_valid)],
-                          axis=-1),
-                f32(o.box)], axis=-1)                     # (..., 9)
-            return s2, vec
+            return s2, pack_output(o)                 # one (..., 9) fetch
 
         jitted = jax.jit(packed, donate_argnums=(0,) if donate else ())
         self._step = lambda s, f: jitted(s, f, det_args)
@@ -446,12 +462,7 @@ class LivePipeline:
                        else init_state(cfg))
         self._pending: list = []
 
-    @staticmethod
-    def _unpack(a) -> LiveOutput:
-        return LiveOutput(bpm=a[..., 0], bpm_valid=a[..., 1] > 0.5,
-                          green_raw=a[..., 2], green_filtered=a[..., 3],
-                          box=a[..., 5:9].astype(np.int32),
-                          face_valid=a[..., 4] > 0.5)
+    _unpack = staticmethod(unpack_output)
 
     def _materialize(self, vecs):
         if not vecs:

@@ -48,7 +48,8 @@ from .ops import reduce as vreduce
 from .ops import roi as vroi
 from .pipeline.live import (LiveConfig, LiveOutput, LiveState,
                             MultiLiveState, _masked_welch_bpm, _sos,
-                            init_state, init_state_multi)
+                            init_state, init_state_multi, pack_output,
+                            unpack_output)
 
 __all__ = ["BpmServer", "init_state_batched", "serve_forever", "BpmClient"]
 
@@ -159,12 +160,10 @@ def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
                           count=count, zi=zi, last_box=new_last,
                           hold_budget=new_budget, has_last=new_has,
                           frame_idx=state.frame_idx + active.astype(jnp.int32))
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
-    packed = jnp.concatenate([
-        jnp.stack([f32(bpm), f32(bpm_valid), f32(green),
-                   f32(filt), f32(face_valid)], axis=-1),
-        f32(new_last)], axis=-1)                               # (S, 9)
-    return new_state, packed
+    out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
+                     green_filtered=filt, box=new_last,
+                     face_valid=face_valid)
+    return new_state, pack_output(out)                         # (S, 9)
 
 
 def _step_multi_batched_impl(state: MultiLiveState, frames: jnp.ndarray,
@@ -247,19 +246,12 @@ def _step_multi_batched_impl(state: MultiLiveState, frames: jnp.ndarray,
         ring_raw=ring_raw, ring_filt=ring_filt, count=count, zi=zi,
         last_box=new_last, hold_budget=new_budget, has_last=new_has,
         frame_idx=state.frame_idx + active.astype(jnp.int32))
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
-    packed = jnp.concatenate([
-        jnp.stack([f32(bpm), f32(bpm_valid), f32(green),
-                   f32(filt), f32(face_valid)], axis=-1),
-        f32(boxes)], axis=-1)                                  # (S, K, 9)
-    return new_state, packed
+    out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
+                     green_filtered=filt, box=boxes, face_valid=face_valid)
+    return new_state, pack_output(out)                         # (S, K, 9)
 
 
-def _unpack(a: np.ndarray) -> LiveOutput:
-    return LiveOutput(bpm=a[..., 0], bpm_valid=a[..., 1] > 0.5,
-                      green_raw=a[..., 2], green_filtered=a[..., 3],
-                      box=a[..., 5:9].astype(np.int32),
-                      face_valid=a[..., 4] > 0.5)
+_unpack = unpack_output
 
 
 class BpmServer:
@@ -304,6 +296,7 @@ class BpmServer:
         self.cfg = cfg
         self.n_slots = n_slots
         self.k_faces = k_faces
+        self.transfer = transfer
         self._i420 = transfer == "i420"
         self._lock = threading.Lock()
         self._attached = [False] * n_slots
@@ -354,6 +347,10 @@ class BpmServer:
         with self._lock:
             self._attached[slot] = False
 
+    def attached(self, slot: int) -> bool:
+        with self._lock:
+            return 0 <= slot < self.n_slots and self._attached[slot]
+
     @property
     def active_slots(self) -> list:
         with self._lock:
@@ -402,23 +399,27 @@ class BpmServer:
                              f"got {shape} (resize before the pool)")
         batch = np.zeros((self.n_slots,) + shape, np.uint8)
         active = np.zeros((self.n_slots,), bool)
-        for s, f in frames.items():
-            if not self._attached[s]:
-                raise KeyError(f"slot {s} is not attached")
-            batch[s] = f
-            active[s] = True
         with self._lock:
+            for s, f in frames.items():
+                if not self._attached[s]:
+                    raise KeyError(f"slot {s} is not attached")
+                batch[s] = f
+                active[s] = True
             reset = self._needs_reset.copy()
             self._needs_reset[:] = False
-        b, ac, rs = (jnp.asarray(batch), jnp.asarray(active),
-                     jnp.asarray(reset))
-        if self._sharding is not None:
-            b = jax.device_put(b, self._sharding)
-            ac = jax.device_put(ac, self._sharding)
-            rs = jax.device_put(rs, self._sharding)
-        self._state, packed = self._step(self._state, b, ac, rs,
-                                         jnp.int32(self._tick_count))
-        self._tick_count += 1
+            b, ac, rs = (jnp.asarray(batch), jnp.asarray(active),
+                         jnp.asarray(reset))
+            if self._sharding is not None:
+                b = jax.device_put(b, self._sharding)
+                ac = jax.device_put(ac, self._sharding)
+                rs = jax.device_put(rs, self._sharding)
+            # The state swap happens under the lock: the step DONATES the
+            # old state's buffers, so a concurrent snapshot() must never
+            # see them (dispatch is async -- the lock is held only for the
+            # enqueue, not the device work).
+            self._state, packed = self._step(self._state, b, ac, rs,
+                                             jnp.int32(self._tick_count))
+            self._tick_count += 1
         a = np.asarray(packed)                      # ONE blocking fetch
         return {s: _unpack(a[s]) for s in frames}
 
@@ -427,11 +428,17 @@ class BpmServer:
 # TCP front-end: length-prefixed frames in, JSON BPM lines out.
 #
 # Wire protocol (little-endian):
-#   client -> server:  one JSON hello line  {"transfer": "bgr"|"i420"}\n
-#                      then per frame: u32 payload length + raw uint8 bytes
+#   client -> server:  one JSON-object hello line, e.g.
+#                      {"transfer": "bgr"}\n -- "transfer" MUST match the
+#                      pool's configured wire format; optional
+#                      "resume_slot": k reclaims a warm restored slot
+#                      (attached in the snapshot, no live connection).
+#                      Then per frame: u32 payload length + raw uint8 bytes
 #                      (H*W*3 BGR, or (H*3/2)*W planar I420); length 0 = bye
-#   server -> client:  one JSON line per processed frame:
+#   server -> client:  {"slot": k} on accept (or {"error": ...} + hangup),
+#                      then one JSON line per processed frame:
 #       {"seq": k, "bpm": f, "bpm_valid": b, "face_valid": b, "box": [4]}
+#       (k_faces > 1 pools send lists: one entry per monitored subject)
 # ---------------------------------------------------------------------------
 
 
@@ -443,6 +450,10 @@ class _ClientConn:
     seq: int = 0
     closing: bool = False
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    # Serializes BPM lines (tick thread) against error lines (handler
+    # thread) on the same socket -- interleaved sendalls would corrupt the
+    # JSON-lines stream.
+    wlock: threading.Lock = dataclasses.field(default_factory=threading.Lock)
 
 
 def _read_exact(rfile, n: int) -> bytes:
@@ -460,10 +471,15 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, addr, pool: BpmServer, frame_shape: tuple,
-                 max_queue: int = 64):
+                 max_queue: int = 64, io_timeout: float = 300.0):
         self.pool = pool
         self.frame_shape = tuple(frame_shape)
         self.max_queue = max_queue
+        # One socket timeout covers reads AND writes: a client that stops
+        # READING its BPM lines would otherwise block the tick thread's
+        # sendall forever (head-of-line DoS on the whole pool); a client
+        # idle longer than this is dropped cleanly.
+        self.io_timeout = io_timeout
         self.clients: Dict[int, _ClientConn] = {}
         self.clients_lock = threading.Lock()
         self._stop = threading.Event()
@@ -495,7 +511,21 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
             if not frames:
                 time.sleep(0.001)
                 continue
-            outs = self.pool.tick(frames)
+            try:
+                outs = self.pool.tick(frames)
+            except Exception as e:           # noqa: BLE001 -- one bad tick
+                # must not kill the only thread serving the pool: answer
+                # the affected clients with an error line and keep going.
+                err = (json.dumps({"error": f"tick failed: {e!r}"})
+                       + "\n").encode()
+                for c in outs_for:
+                    with c.wlock:
+                        try:
+                            c.wfile.write(err)
+                            c.wfile.flush()
+                        except OSError:
+                            c.closing = True
+                continue
             multi = self.pool.k_faces > 1
             for c in outs_for:
                 o = outs[c.slot]
@@ -512,11 +542,12 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
                            "box": [int(x) for x in np.asarray(o.box)]}
                 line = json.dumps(msg) + "\n"
                 c.seq += 1
-                try:
-                    c.wfile.write(line.encode())
-                    c.wfile.flush()
-                except OSError:
-                    pass                     # handler thread will clean up
+                with c.wlock:
+                    try:
+                        c.wfile.write(line.encode())
+                        c.wfile.flush()
+                    except OSError:          # dead or stalled reader
+                        c.closing = True     # (io_timeout) -- drop it
 
     def shutdown(self):
         self._stop.set()
@@ -524,53 +555,90 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
 
 
 class _BpmHandler(socketserver.StreamRequestHandler):
+    def _error(self, msg: str, conn=None) -> None:
+        data = (json.dumps({"error": msg}) + "\n").encode()
+        try:
+            if conn is not None:
+                with conn.wlock:
+                    self.wfile.write(data)
+                    self.wfile.flush()
+            else:
+                self.wfile.write(data)
+                self.wfile.flush()
+        except OSError:
+            pass
+
     def handle(self):
         srv: _BpmTCPServer = self.server
+        self.connection.settimeout(srv.io_timeout)
         try:
-            hello = json.loads(self.rfile.readline().decode() or "{}")
+            line = self.rfile.readline(65537)
+            if len(line) > 65536:
+                raise ValueError("hello line too long")
+            hello = json.loads(line.decode() or "{}")
+            if not isinstance(hello, dict):
+                raise ValueError("hello must be a JSON object")
             transfer = hello.get("transfer", "bgr")
-            if transfer not in ("bgr", "i420"):
-                raise ValueError(f"unknown transfer {transfer!r}")
-        except (ValueError, UnicodeDecodeError) as e:
+            if transfer != srv.pool.transfer:
+                raise ValueError(
+                    f"pool expects transfer={srv.pool.transfer!r}, "
+                    f"client sent {transfer!r}")
+            resume = hello.get("resume_slot")
+            if resume is not None and not isinstance(resume, int):
+                raise ValueError("resume_slot must be an integer")
+        except (ValueError, UnicodeDecodeError, OSError) as e:
             # Malformed hello: answer and hang up; the pool is untouched.
-            try:
-                self.wfile.write(
-                    (json.dumps({"error": f"bad hello: {e}"}) + "\n")
-                    .encode())
-            except OSError:
-                pass
+            self._error(f"bad hello: {e}")
             return
         h, w = srv.frame_shape
         nbytes = (h * 3 // 2) * w if transfer == "i420" else h * w * 3
         shape = ((h * 3 // 2, w) if transfer == "i420" else (h, w, 3))
-        try:
-            slot = srv.pool.attach()
-        except RuntimeError as e:
-            self.wfile.write((json.dumps({"error": str(e)}) + "\n").encode())
-            return
-        conn = _ClientConn(slot=slot,
+        conn = _ClientConn(slot=-1,
                            inbox=queue.Queue(maxsize=srv.max_queue),
                            wfile=self.wfile)
-        with srv.clients_lock:
-            srv.clients[slot] = conn
-        self.wfile.write((json.dumps({"slot": slot}) + "\n").encode())
-        self.wfile.flush()
+        if resume is not None:
+            # Reclaim a warm restored slot: attached in the pool (the
+            # snapshot's attach map) but with no live connection.  The
+            # check and the registration are atomic under clients_lock so
+            # two resumers cannot adopt the same slot.
+            with srv.clients_lock:
+                if resume in srv.clients or not srv.pool.attached(resume):
+                    self._error(f"slot {resume} is not resumable")
+                    return
+                conn.slot = slot = resume        # no reset: state is warm
+                srv.clients[slot] = conn
+        else:
+            try:
+                slot = srv.pool.attach()
+            except RuntimeError as e:
+                self._error(str(e))
+                return
+            conn.slot = slot
+            with srv.clients_lock:
+                srv.clients[slot] = conn
         try:
+            with conn.wlock:
+                self.wfile.write((json.dumps({"slot": slot}) + "\n")
+                                 .encode())
+                self.wfile.flush()
             while True:
                 (n,) = struct.unpack("<I", _read_exact(self.rfile, 4))
                 if n == 0:
                     break
                 if n != nbytes:
-                    try:
-                        self.wfile.write((json.dumps(
-                            {"error": f"frame payload {n} != expected "
-                                      f"{nbytes} for {transfer}"}) + "\n")
-                            .encode())
-                    except OSError:
-                        pass
+                    self._error(f"frame payload {n} != expected {nbytes} "
+                                f"for {transfer}", conn)
                     break               # hang up; queued frames still drain
                 raw = _read_exact(self.rfile, n)
-                conn.inbox.put(np.frombuffer(raw, np.uint8).reshape(shape))
+                frame = np.frombuffer(raw, np.uint8).reshape(shape)
+                while not conn.closing:      # don't wedge on a full inbox
+                    try:                     # after the tick loop drops us
+                        conn.inbox.put(frame, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                if conn.closing:
+                    break
         except (EOFError, OSError):
             pass
         finally:
@@ -598,13 +666,21 @@ class BpmClient:
     """
 
     def __init__(self, host: str, port: int, transfer: str = "bgr",
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, resume_slot: Optional[int] = None):
+        """``resume_slot``: reclaim a warm slot after a server restart
+        with ``--restore`` (the snapshot keeps the attach map)."""
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.rfile = self.sock.makefile("rb")
         self.transfer = transfer
-        self.sock.sendall((json.dumps({"transfer": transfer}) + "\n")
-                          .encode())
-        self.slot = json.loads(self.rfile.readline().decode())["slot"]
+        hello = {"transfer": transfer}
+        if resume_slot is not None:
+            hello["resume_slot"] = resume_slot
+        self.sock.sendall((json.dumps(hello) + "\n").encode())
+        accept = json.loads(self.rfile.readline().decode())
+        if "error" in accept:
+            self.sock.close()
+            raise ConnectionError(accept["error"])
+        self.slot = accept["slot"]
 
     def send(self, frame: np.ndarray) -> None:
         raw = np.ascontiguousarray(frame, np.uint8).tobytes()
