@@ -388,3 +388,31 @@ def test_tcp_server_two_clients(clip, clip2):
         assert outs[-1]["bpm_valid"]
         assert abs(outs[-1]["bpm"] - target) <= 8.0
     srv.shutdown()
+
+
+def test_tcp_stats_endpoint(clip):
+    """A {"stats": true} hello returns pool telemetry (tick EMA, slots,
+    frames served) and hangs up without touching the pool."""
+    import json as js
+    import socket as sk
+
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=3, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2])
+    port = srv.server_address[1]
+    c = serving.BpmClient("127.0.0.1", port)
+    for f in clip.frames[:10]:
+        c.send(f)
+    outs = [c.recv() for _ in range(10)]
+    assert len(outs) == 10
+
+    st = sk.create_connection(("127.0.0.1", port), timeout=30)
+    st.sendall(b'{"stats": true}\n')
+    stats = js.loads(st.makefile("rb").readline().decode())
+    st.close()
+    assert stats["slots"] == 3 and stats["attached"] == 1
+    assert stats["frames"] >= 10 and stats["ticks"] >= 1
+    assert stats["tick_ms_ema"] > 0
+    c.close()
+    srv.shutdown()

@@ -480,6 +480,10 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
         # sendall forever (head-of-line DoS on the whole pool); a client
         # idle longer than this is dropped cleanly.
         self.io_timeout = io_timeout
+        # Live telemetry (read by the {"stats": true} hello): tick-duration
+        # EMA + totals, so operators can watch pool load without a profiler.
+        self.stats = {"ticks": 0, "frames": 0, "tick_ms_ema": 0.0,
+                      "tick_errors": 0}
         self.clients: Dict[int, _ClientConn] = {}
         self.clients_lock = threading.Lock()
         self._stop = threading.Event()
@@ -511,6 +515,7 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
             if not frames:
                 time.sleep(0.001)
                 continue
+            t0 = time.perf_counter()
             try:
                 outs = self.pool.tick(frames)
             except Exception as e:           # noqa: BLE001 -- one bad tick
@@ -525,7 +530,14 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
                             c.wfile.flush()
                         except OSError:
                             c.closing = True
+                self.stats["tick_errors"] += 1
                 continue
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            st = self.stats
+            st["ticks"] += 1
+            st["frames"] += len(frames)
+            st["tick_ms_ema"] = (dt_ms if st["ticks"] == 1 else
+                                 0.95 * st["tick_ms_ema"] + 0.05 * dt_ms)
             multi = self.pool.k_faces > 1
             for c in outs_for:
                 o = outs[c.slot]
@@ -579,7 +591,7 @@ class _BpmHandler(socketserver.StreamRequestHandler):
             if not isinstance(hello, dict):
                 raise ValueError("hello must be a JSON object")
             transfer = hello.get("transfer", "bgr")
-            if transfer != srv.pool.transfer:
+            if not hello.get("stats") and transfer != srv.pool.transfer:
                 raise ValueError(
                     f"pool expects transfer={srv.pool.transfer!r}, "
                     f"client sent {transfer!r}")
@@ -589,6 +601,22 @@ class _BpmHandler(socketserver.StreamRequestHandler):
         except (ValueError, UnicodeDecodeError, OSError) as e:
             # Malformed hello: answer and hang up; the pool is untouched.
             self._error(f"bad hello: {e}")
+            return
+        if hello.get("stats"):
+            with srv.clients_lock:
+                connected = len(srv.clients)
+            payload = dict(srv.stats,
+                           slots=srv.pool.n_slots,
+                           attached=len(srv.pool.active_slots),
+                           connected=connected,
+                           k_faces=srv.pool.k_faces,
+                           transfer=srv.pool.transfer)
+            payload["tick_ms_ema"] = round(payload["tick_ms_ema"], 3)
+            try:
+                self.wfile.write((json.dumps(payload) + "\n").encode())
+                self.wfile.flush()
+            except OSError:
+                pass
             return
         h, w = srv.frame_shape
         nbytes = (h * 3 // 2) * w if transfer == "i420" else h * w * 3
