@@ -416,3 +416,27 @@ def test_tcp_stats_endpoint(clip):
     assert stats["tick_ms_ema"] > 0
     c.close()
     srv.shutdown()
+
+
+def test_serve_bpm_client_mode(clip, tmp_path, capsys):
+    """--connect streams a video file to a running pool (geometry and wire
+    format advertised by the stats hello) and drains answers cleanly.
+    Full BPM recovery through this path is covered by the paced 16 s drive
+    (needs >9 s of frames for a valid Welch); here we pin the wiring."""
+    from vhr_tpu.apps import serve_bpm
+    from vhr_tpu.io import video as vio
+
+    path = tmp_path / "c.mp4"
+    vio.write_video(clip.frames, str(path), clip.fps)
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=2, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2])
+    port = srv.server_address[1]
+    rc = serve_bpm.main(["--connect", f"127.0.0.1:{port}",
+                         "--video", str(path), "--max-frames", "40"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "sent 40 frames" in out
+    assert "server error" not in out
+    srv.shutdown()

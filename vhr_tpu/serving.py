@@ -610,7 +610,9 @@ class _BpmHandler(socketserver.StreamRequestHandler):
                            attached=len(srv.pool.active_slots),
                            connected=connected,
                            k_faces=srv.pool.k_faces,
-                           transfer=srv.pool.transfer)
+                           transfer=srv.pool.transfer,
+                           height=srv.frame_shape[0],
+                           width=srv.frame_shape[1])
             payload["tick_ms_ema"] = round(payload["tick_ms_ema"], 3)
             try:
                 self.wfile.write((json.dumps(payload) + "\n").encode())
