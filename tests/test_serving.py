@@ -440,3 +440,58 @@ def test_serve_bpm_client_mode(clip, tmp_path, capsys):
     assert "sent 40 frames" in out
     assert "server error" not in out
     srv.shutdown()
+
+
+def test_tcp_soak_chaos(clip, clip2):
+    """Soak the front-end with misbehaving peers: interleaved bursts, an
+    abrupt disconnect (never reads its answers), and a stalled reader —
+    the healthy client must get every answer in order and the dropped
+    slot must free for a newcomer."""
+    import socket as sk
+    import struct
+    import time
+
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=3, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2],
+                                io_timeout=5.0)
+    port = srv.server_address[1]
+
+    a = serving.BpmClient("127.0.0.1", port, timeout=120.0)
+
+    # B: sends 30 frames then slams the socket shut without reading.
+    b = serving.BpmClient("127.0.0.1", port, timeout=120.0)
+    b_slot = b.slot
+    for f in clip2.frames[:30]:
+        b.send(f)
+    b.sock.close()
+
+    # C: a stalled reader — sends frames, never recv()s.
+    c = serving.BpmClient("127.0.0.1", port, timeout=120.0)
+    for f in clip2.frames[:60]:
+        c.send(f)
+
+    # A (healthy) interleaves three bursts and reads everything back.
+    outs = []
+    n = 120
+    for start in (0, 40, 80):
+        for f in clip.frames[start:start + 40]:
+            a.send(f)
+        for _ in range(40):
+            outs.append(a.recv())
+    assert [o["seq"] for o in outs] == list(range(n))
+    a.close()
+
+    # B's abrupt exit must free its slot for a newcomer.
+    deadline = time.time() + 30
+    while b_slot in pool.active_slots and time.time() < deadline:
+        time.sleep(0.2)
+    assert b_slot not in pool.active_slots
+    d = serving.BpmClient("127.0.0.1", port, timeout=120.0)
+    for f in clip.frames[:3]:
+        d.send(f)
+    assert [o["seq"] for o in (d.recv() for _ in range(3))] == [0, 1, 2]
+    d.close()
+    c.sock.close()
+    srv.shutdown()

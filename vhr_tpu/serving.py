@@ -679,10 +679,12 @@ class _BpmHandler(socketserver.StreamRequestHandler):
 
 
 def serve_forever(host: str, port: int, pool: BpmServer,
-                  frame_shape: tuple) -> _BpmTCPServer:
+                  frame_shape: tuple, io_timeout: float = 300.0
+                  ) -> _BpmTCPServer:
     """Start the TCP front-end on a background thread; returns the server
     (``.server_address`` has the bound port; call ``.shutdown()``)."""
-    srv = _BpmTCPServer((host, port), pool, frame_shape)
+    srv = _BpmTCPServer((host, port), pool, frame_shape,
+                        io_timeout=io_timeout)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv
