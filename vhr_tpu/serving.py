@@ -389,8 +389,17 @@ class BpmServer:
         """Advance every slot that supplied a frame; one device dispatch,
         one packed fetch.  Slots without a frame this tick hold all state
         (a skipped camera frame, not a dropout)."""
+        return self.fetch(self.tick_async(frames))
+
+    def tick_async(self, frames: Dict[int, np.ndarray]):
+        """Like :meth:`tick` but returns an un-materialized handle
+        ``(slots, packed)`` — JAX dispatch is asynchronous, so the device
+        starts the tick while the host moves on.  Materialize with
+        :meth:`fetch` one tick later to overlap the result round trip with
+        the next tick's host work (the ``LivePipeline`` 1-deep overlap,
+        lifted to the pool)."""
         if not frames:
-            return {}
+            return None
         shape = next(iter(frames.values())).shape
         if self._frame_shape is None:
             self._frame_shape = shape
@@ -420,8 +429,16 @@ class BpmServer:
             self._state, packed = self._step(self._state, b, ac, rs,
                                              jnp.int32(self._tick_count))
             self._tick_count += 1
-        a = np.asarray(packed)                      # ONE blocking fetch
-        return {s: _unpack(a[s]) for s in frames}
+        return (list(frames), packed)
+
+    @staticmethod
+    def fetch(handle) -> Dict[int, LiveOutput]:
+        """Materialize a :meth:`tick_async` handle (ONE blocking fetch)."""
+        if handle is None:
+            return {}
+        slots, packed = handle
+        a = np.asarray(packed)
+        return {s: _unpack(a[s]) for s in slots}
 
 
 # ---------------------------------------------------------------------------
@@ -496,8 +513,16 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
         """Drain one frame per connected client per tick — every frame is
         processed, in order, and the batch dimension is the economy.  Slot
         release is owned HERE (after the inbox drains), so a tick never
-        races a handler's detach."""
+        races a handler's detach.
+
+        The loop is 1-deep PIPELINED (the ``LivePipeline`` overlap, lifted
+        to the pool): tick N+1 dispatches before tick N's packed result is
+        fetched, so the result round trip (PCIe/grpc/relay) overlaps the
+        next tick's host work.  Answer lag is at most one tick; when no new
+        frames arrive the pending tick flushes immediately, so idle-pool
+        latency is unchanged."""
         import time
+        pending = None                        # (outs_for, handle, t0)
         while not self._stop.is_set():
             with self.clients_lock:
                 conns = list(self.clients.values())
@@ -507,35 +532,39 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
                     frames[c.slot] = c.inbox.get_nowait()
                     outs_for.append(c)
                 except queue.Empty:
-                    if c.closing:
+                    if c.closing and pending is None:
                         with self.clients_lock:
                             self.clients.pop(c.slot, None)
                         self.pool.detach(c.slot)
                         c.done.set()
-            if not frames:
+            if not frames and pending is None:
                 time.sleep(0.001)
                 continue
             t0 = time.perf_counter()
+            handle = None
+            if frames:
+                try:
+                    handle = self.pool.tick_async(frames)
+                except Exception as e:       # noqa: BLE001 -- one bad tick
+                    # must not kill the only thread serving the pool:
+                    # answer the affected clients and keep going.
+                    self._answer_error(outs_for, e)
+                    handle = None
+            prev, pending = pending, ((outs_for, handle, t0)
+                                      if handle is not None else None)
+            if prev is None:
+                continue
+            outs_for, handle, t0 = prev
             try:
-                outs = self.pool.tick(frames)
-            except Exception as e:           # noqa: BLE001 -- one bad tick
-                # must not kill the only thread serving the pool: answer
-                # the affected clients with an error line and keep going.
-                err = (json.dumps({"error": f"tick failed: {e!r}"})
-                       + "\n").encode()
-                for c in outs_for:
-                    with c.wlock:
-                        try:
-                            c.wfile.write(err)
-                            c.wfile.flush()
-                        except OSError:
-                            c.closing = True
+                outs = self.pool.fetch(handle)   # blocks on tick N-1 only
+            except Exception as e:               # noqa: BLE001
+                self._answer_error(outs_for, e)
                 self.stats["tick_errors"] += 1
                 continue
             dt_ms = (time.perf_counter() - t0) * 1e3
             st = self.stats
             st["ticks"] += 1
-            st["frames"] += len(frames)
+            st["frames"] += len(outs)
             st["tick_ms_ema"] = (dt_ms if st["ticks"] == 1 else
                                  0.95 * st["tick_ms_ema"] + 0.05 * dt_ms)
             multi = self.pool.k_faces > 1
@@ -560,6 +589,17 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
                         c.wfile.flush()
                     except OSError:          # dead or stalled reader
                         c.closing = True     # (io_timeout) -- drop it
+
+    def _answer_error(self, outs_for, e) -> None:
+        err = (json.dumps({"error": f"tick failed: {e!r}"}) + "\n").encode()
+        for c in outs_for:
+            with c.wlock:
+                try:
+                    c.wfile.write(err)
+                    c.wfile.flush()
+                except OSError:
+                    c.closing = True
+        self.stats["tick_errors"] += 1
 
     def shutdown(self):
         self._stop.set()
