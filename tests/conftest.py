@@ -25,8 +25,8 @@ jax.config.update("jax_enable_x64", True)
 
 
 # ---------------------------------------------------------------------------
-# Fast/slow split: the default gate is `pytest tests/ -m "not slow"` (~15 min
-# on this 1-core host, 172 tests); `pytest tests/` runs everything (~2x).  Slow =
+# Fast/slow split: the default gate is `pytest tests/ -m "not slow"` (~12-14 min
+# on this 1-core host, 208 of 247 tests); `pytest tests/` runs everything (~2x).  Slow =
 # measured >=14 s here (app E2E, training loops, big-clip sweeps).  The list
 # lives centrally so test files stay clean.
 import pytest
