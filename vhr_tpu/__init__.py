@@ -6,7 +6,9 @@ reference is a frame-at-a-time Python loop over MediaPipe + OpenCV + scipy,
 this framework treats video as a ``(streams, T, H, W, 3)`` array program:
 batched face localization, a Pallas-fused ROI reduction, scanned temporal
 bandpass filters, and windowed FFT/Welch peak picking — all under ``jit``,
-scaled over device meshes with ``shard_map``.
+scaled over device meshes with ``shard_map``.  A serving layer
+(``vhr_tpu.serving``) multiplexes many live TCP camera clients onto one
+batched device dispatch per tick.
 """
 
 __version__ = "0.1.0"
