@@ -67,6 +67,11 @@ _SLOW_TESTS = {
     "test_production_detector_tracks_moving_real_face",
     "test_real_face_bpm_recovery_production_path",
     "test_real_face_detector_domain_contrast",
+    # mesh-polygon ROI: same 21 s mediapipe CPU compiles
+    "test_cheek_poly_idx_derivation_pinned",
+    "test_polygon_excludes_band_corner_contamination",
+    "test_polygon_pipeline_recovers_bpm_real_face",
+    "test_polygon_pipeline_cadence_and_holdover",
 }
 
 

@@ -48,7 +48,8 @@ import jax.numpy as jnp
 __all__ = ["blazeface_anchors", "load_face_models", "detect_faces_mp",
            "face_landmarks", "make_mediapipe_detector",
            "make_mediapipe_detector_multi", "make_mediapipe_roi_detector",
-           "default_task_path", "MediaPipeFaceParams"]
+           "make_mediapipe_poly_detector", "default_task_path",
+           "MediaPipeFaceParams"]
 
 _MIN_DET_SCORE = 0.5          # TensorsToDetections min_score_thresh
 _NMS_IOU = 0.3                # min_suppression_threshold
@@ -561,6 +562,43 @@ def _detect_single_roi(params: MediaPipeFaceParams, det_apply, lm_apply,
     boxes = jnp.where(valid[:, None], boxes, 0)
     rois = jnp.where(valid[:, None], rois, 0)
     return boxes, rois, valid
+
+
+def _detect_single_poly(params: MediaPipeFaceParams, det_apply, lm_apply,
+                        frames: jnp.ndarray, poly_idx,
+                        crop_mode: str = "axis"):
+    T, H, W, _ = frames.shape
+    rects, _, det_ok = detect_faces_mp(params, det_apply, frames, k_faces=1)
+    lm_px, presence = face_landmarks(params, lm_apply, frames, rects,
+                                     crop_mode=crop_mode)
+    boxes = _landmarks_to_bbox(lm_px[:, 0], H, W)
+    verts = lm_px[:, 0, jnp.asarray(poly_idx, jnp.int32), :]  # (T, E, 2)
+    valid = jnp.logical_and(det_ok[:, 0], presence[:, 0] >= _MIN_PRESENCE)
+    boxes = jnp.where(valid[:, None], boxes, 0)
+    verts = jnp.where(valid[:, None, None], verts, 0.0)
+    return boxes, verts, valid
+
+
+def make_mediapipe_poly_detector(task_path: Optional[str] = None,
+                                 compute_dtype=None, crop_mode: str = "axis",
+                                 poly_idx=None):
+    """Mesh-polygon variant of :func:`make_mediapipe_detector`:
+    ``frames -> (boxes (T, 4), verts (T, E, 2) float32, valid (T,))`` —
+    the ``pipeline.offline.extract_signals_polygon`` interface.  ``verts``
+    are the pixel positions of the ``poly_idx`` mesh vertices (default
+    :data:`vhr_tpu.ops.polyroi.CHEEK_POLY_IDX`, the cheek-band silhouette
+    hull), so the measurement region is actual skin that tracks the face
+    under pose — beyond the reference's rectangle
+    (``analysis/utils/roi.py:53-59``)."""
+    from ..ops.polyroi import CHEEK_POLY_IDX
+
+    poly_idx = tuple(poly_idx) if poly_idx is not None else CHEEK_POLY_IDX
+    params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
+    fn = functools.partial(_detect_single_poly, det_apply=det_apply,
+                           lm_apply=lm_apply, poly_idx=poly_idx,
+                           crop_mode=crop_mode)
+    return jax.tree_util.Partial(
+        lambda p, frames: fn(p, frames=frames), params)
 
 
 def make_mediapipe_roi_detector(task_path: Optional[str] = None,

@@ -32,6 +32,7 @@ __all__ = [
     "extract_signals",
     "extract_signals_fused",
     "extract_signals_landmark_roi",
+    "extract_signals_polygon",
     "extract_signals_multi",
     "measure_green_avg",
     "measure_green_avg_multi",
@@ -248,6 +249,71 @@ def extract_signals_landmark_roi(frames: jnp.ndarray, detector,
     return _extract_signals_lmroi_jit(frames, det_args, cfg=cfg,
                                       det_fn=det_fn,
                                       detect_every=detect_every)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "det_fn",
+                                             "detect_every", "grid"))
+def _extract_signals_poly_jit(frames, det_args, cfg, det_fn,
+                              detect_every=1, grid=32):
+    from ..ops import polyroi
+
+    T, H, W, _ = frames.shape
+    if detect_every > 1:
+        sub = frames[::detect_every]
+        b_sub, v_sub, ok_sub = det_fn(*det_args, sub)
+        idx = jnp.arange(0, T, detect_every)
+        boxes = jnp.zeros((T, 4), b_sub.dtype).at[idx].set(b_sub)
+        verts_raw = jnp.zeros((T,) + v_sub.shape[1:],
+                              v_sub.dtype).at[idx].set(v_sub)
+        valid = jnp.zeros((T,), bool).at[idx].set(ok_sub)
+        attempted = jnp.zeros((T,), bool).at[idx].set(True)
+    else:
+        boxes, verts_raw, valid = det_fn(*det_args, frames)
+        attempted = None
+    E = verts_raw.shape[1]
+    track_box = vroi.holdover(boxes, valid, cfg.roi.landmark_hold_frames,
+                              attempted=attempted)
+    # The polygon rides the SAME holdover scan as the box: a stale vertex
+    # ring is reused for <= hold_frames frames (the lmroi convention, with
+    # the ring's 2E floats as the held state instead of a 4-int rect).
+    vcarry = (jnp.zeros((2 * E,), verts_raw.dtype), jnp.int32(0),
+              jnp.asarray(False))
+    track_v, _ = vroi.holdover_with_carry(
+        verts_raw.reshape(T, 2 * E), valid, cfg.roi.landmark_hold_frames,
+        carry=vcarry, attempted=attempted)
+    verts = jnp.where(track_v.valid[:, None, None],
+                      track_v.box.reshape(T, E, 2), 0.0)
+    means, _ = polyroi.polygon_channel_means(frames, verts, grid=grid)
+    rois = jnp.where(track_v.valid[:, None],
+                     polyroi.polygon_bbox(verts, W, H), 0)
+    return SignalTrace(bgr=means, valid=track_v.valid, rois=rois,
+                       boxes=track_box.box)
+
+
+def extract_signals_polygon(frames: jnp.ndarray, detector,
+                            cfg: PipelineConfig = PipelineConfig(),
+                            detect_every: int = 1,
+                            grid: int = 32) -> SignalTrace:
+    """Mesh-polygon skin-mask :func:`extract_signals`: the measured region
+    is a convex polygon of face-mesh vertices (default: the cheek-band
+    silhouette hull, :data:`vhr_tpu.ops.polyroi.CHEEK_POLY_IDX`) instead
+    of a rectangle, so background/hair at the face's sides never enters
+    the channel means.  Exceeds the reference, which measures the bbox
+    interior rectangle (``analysis/utils/roi.py:53-59``).
+
+    ``detector`` maps ``frames -> (boxes (T, 4), verts (T, E, 2), valid)``
+    — build one with ``models.mediapipe_face.make_mediapipe_poly_detector``.
+    ``detect_every``/holdover semantics match
+    :func:`extract_signals_landmark_roi`; ``grid`` is the mask/resample
+    resolution (:func:`vhr_tpu.ops.polyroi.polygon_channel_means`).
+    """
+    if isinstance(detector, jax.tree_util.Partial):
+        det_fn, det_args = detector.func, tuple(detector.args)
+    else:
+        det_fn, det_args = detector, ()
+    return _extract_signals_poly_jit(frames, det_args, cfg=cfg,
+                                     det_fn=det_fn,
+                                     detect_every=detect_every, grid=grid)
 
 
 @functools.partial(jax.jit,
