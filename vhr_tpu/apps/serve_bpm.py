@@ -20,6 +20,13 @@ the reference user's whole live workflow, pointed at a shared chip:
 
 A custom client is ~10 lines (``serving.BpmClient``): send a JSON hello,
 then length-prefixed raw BGR (or planar I420) frames; read JSON lines.
+
+The SAME port also speaks WebSocket (auto-detected, first-party RFC 6455
+server in ``vhr_tpu/serving.py``), so a browser can stream
+``getUserMedia`` frames directly: open a WebSocket to the server, send
+the hello as a text message, frames as binary messages, and read BPM
+JSON text messages back (``serving.WsBpmClient`` is the Python
+counterpart and the protocol reference).
 """
 
 from __future__ import annotations

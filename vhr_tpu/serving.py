@@ -22,15 +22,26 @@ TPU-native design points:
   the high-latency-link rule the live pipeline established
   (``pipeline/live.py::LivePipeline``).
 
-The TCP front-end (:func:`serve_forever`, CLI in ``apps/serve_bpm.py``)
-speaks a minimal length-prefixed protocol (JSON hello + raw frames in;
-JSON BPM lines out) so any camera host can join the pool.
+The front-end (:func:`serve_forever`, CLI in ``apps/serve_bpm.py``)
+speaks TWO protocols on ONE port, auto-detected from the first bytes:
+
+- raw TCP (first byte ``{``): a minimal length-prefixed protocol (JSON
+  hello + raw frames in; JSON BPM lines out) for camera hosts;
+- WebSocket (first bytes ``GET``): a first-party RFC 6455 server (no
+  external packages) so *browser* clients can stream ``getUserMedia``
+  frames straight to the pool — hello and BPM lines are text messages,
+  frame payloads are binary messages.  The reference's browser story is
+  nonexistent (its live app owns a local cv2 window,
+  ``rppg_LIVESTREAM.py:256-366``).
 """
 
 from __future__ import annotations
 
+import base64
 import dataclasses
+import hashlib
 import json
+import os
 import queue
 import socket
 import socketserver
@@ -51,7 +62,8 @@ from .pipeline.live import (LiveConfig, LiveOutput, LiveState,
                             init_state, init_state_multi, pack_output,
                             unpack_output)
 
-__all__ = ["BpmServer", "init_state_batched", "serve_forever", "BpmClient"]
+__all__ = ["BpmServer", "init_state_batched", "serve_forever", "BpmClient",
+           "WsBpmClient"]
 
 
 def init_state_batched(cfg: LiveConfig, n_slots: int,
@@ -606,17 +618,102 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
         super().shutdown()
 
 
+# --- WebSocket (RFC 6455) wire layer: first-party, stdlib + numpy only ---
+
+_WS_GUID = b"258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+class _WsClosed(Exception):
+    """Peer sent a close frame (clean WebSocket end)."""
+
+
+class _FramePayloadError(ValueError):
+    """A protocol-level frame error worth answering before hangup."""
+
+
+def _ws_send(wfile, payload: bytes, opcode: int) -> None:
+    """One unmasked server->client frame (servers MUST NOT mask)."""
+    b0 = 0x80 | opcode                                   # FIN + opcode
+    n = len(payload)
+    if n < 126:
+        hdr = bytes((b0, n))
+    elif n < 65536:
+        hdr = bytes((b0, 126)) + struct.pack(">H", n)
+    else:
+        hdr = bytes((b0, 127)) + struct.pack(">Q", n)
+    wfile.write(hdr + payload)
+    wfile.flush()
+
+
+def _ws_mask(payload: bytes, mask: bytes) -> bytes:
+    """XOR (un)masking, vectorized — frame payloads are whole camera
+    frames, so the per-byte Python loop in most textbook implementations
+    would dominate the wire cost."""
+    n = len(payload)
+    if n == 0:
+        return payload
+    a = np.frombuffer(payload, np.uint8)
+    m = np.frombuffer(mask, np.uint8)
+    pad = (-n) % 4
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, np.uint8)])
+    return (a.reshape(-1, 4) ^ m).tobytes()[:n]
+
+
+def _ws_read_frame(rfile, max_len: int, require_mask: bool = True):
+    """One raw frame -> (fin, opcode, unmasked payload).  Servers pass
+    ``require_mask=True`` (client data frames MUST be masked per RFC
+    6455); clients read unmasked server frames with ``False``."""
+    hdr = _read_exact(rfile, 2)
+    if hdr[0] & 0x70:
+        raise ValueError("RSV bits set (extensions not negotiated)")
+    fin = bool(hdr[0] & 0x80)
+    op = hdr[0] & 0x0F
+    masked = bool(hdr[1] & 0x80)
+    n = hdr[1] & 0x7F
+    if n == 126:
+        (n,) = struct.unpack(">H", _read_exact(rfile, 2))
+    elif n == 127:
+        (n,) = struct.unpack(">Q", _read_exact(rfile, 8))
+    if n > max_len + 16:
+        raise ValueError(f"frame too long ({n} > {max_len})")
+    if require_mask and not masked and op in (0, 1, 2):
+        raise ValueError("client data frames must be masked (RFC 6455)")
+    mask = _read_exact(rfile, 4) if masked else b""
+    payload = _read_exact(rfile, n)
+    if masked:
+        payload = _ws_mask(payload, mask)
+    return fin, op, payload
+
+
+class _WsWriter:
+    """File-like adapter for :class:`_ClientConn`: each ``.write()`` is
+    framed as ONE text message (the tick loop writes exactly one JSON line
+    per call).  No internal locking — callers hold the conn's ``wlock``,
+    same as the raw-TCP path."""
+
+    def __init__(self, wfile):
+        self._wfile = wfile
+
+    def write(self, data: bytes) -> None:
+        _ws_send(self._wfile, data, 0x1)
+
+    def flush(self) -> None:
+        pass
+
+
 class _BpmHandler(socketserver.StreamRequestHandler):
-    def _error(self, msg: str, conn=None) -> None:
+    def _error(self, msg: str, conn=None, writer=None) -> None:
+        w = writer if writer is not None else self.wfile
         data = (json.dumps({"error": msg}) + "\n").encode()
         try:
             if conn is not None:
                 with conn.wlock:
-                    self.wfile.write(data)
-                    self.wfile.flush()
+                    w.write(data)
+                    w.flush()
             else:
-                self.wfile.write(data)
-                self.wfile.flush()
+                w.write(data)
+                w.flush()
         except OSError:
             pass
 
@@ -625,23 +722,177 @@ class _BpmHandler(socketserver.StreamRequestHandler):
         self.connection.settimeout(srv.io_timeout)
         try:
             line = self.rfile.readline(65537)
-            if len(line) > 65536:
-                raise ValueError("hello line too long")
-            hello = json.loads(line.decode() or "{}")
-            if not isinstance(hello, dict):
-                raise ValueError("hello must be a JSON object")
-            transfer = hello.get("transfer", "bgr")
-            if not hello.get("stats") and transfer != srv.pool.transfer:
-                raise ValueError(
-                    f"pool expects transfer={srv.pool.transfer!r}, "
-                    f"client sent {transfer!r}")
-            resume = hello.get("resume_slot")
-            if resume is not None and not isinstance(resume, int):
-                raise ValueError("resume_slot must be an integer")
-        except (ValueError, UnicodeDecodeError, OSError) as e:
-            # Malformed hello: answer and hang up; the pool is untouched.
+        except OSError:
+            return
+        # One port, two protocols: a WebSocket upgrade starts with an HTTP
+        # request line; the raw-TCP protocol starts with a JSON hello.
+        if line.startswith(b"GET"):
+            self._handle_ws(line)
+        else:
+            self._handle_tcp(line)
+
+    def _parse_hello(self, raw: bytes):
+        """Shared hello validation -> (hello, transfer, resume).  Raises
+        ValueError on anything malformed (the pool is untouched)."""
+        srv: _BpmTCPServer = self.server
+        if len(raw) > 65536:
+            raise ValueError("hello too long")
+        hello = json.loads(raw.decode() or "{}")
+        if not isinstance(hello, dict):
+            raise ValueError("hello must be a JSON object")
+        transfer = hello.get("transfer", "bgr")
+        if not hello.get("stats") and transfer != srv.pool.transfer:
+            raise ValueError(
+                f"pool expects transfer={srv.pool.transfer!r}, "
+                f"client sent {transfer!r}")
+        resume = hello.get("resume_slot")
+        if resume is not None and not isinstance(resume, int):
+            raise ValueError("resume_slot must be an integer")
+        return hello, transfer, resume
+
+    def _handle_tcp(self, line: bytes):
+        try:
+            hello, transfer, resume = self._parse_hello(line)
+        except (ValueError, UnicodeDecodeError) as e:
             self._error(f"bad hello: {e}")
             return
+
+        def make_recv(nbytes, shape, conn):
+            def recv():
+                (n,) = struct.unpack("<I", _read_exact(self.rfile, 4))
+                if n == 0:
+                    return None
+                if n != nbytes:
+                    raise _FramePayloadError(
+                        f"frame payload {n} != expected {nbytes} "
+                        f"for {transfer}")
+                return np.frombuffer(_read_exact(self.rfile, n),
+                                     np.uint8).reshape(shape)
+            return recv
+
+        self._session(hello, transfer, resume, self.wfile, make_recv)
+
+    # --- WebSocket path -----------------------------------------------------
+
+    def _handle_ws(self, request_line: bytes):
+        srv: _BpmTCPServer = self.server
+        headers = {}
+        try:
+            while True:
+                l = self.rfile.readline(65537)
+                if l in (b"\r\n", b"\n", b""):
+                    break
+                if b":" in l:
+                    k, v = l.split(b":", 1)
+                    headers[k.strip().lower()] = v.strip()
+            key = headers.get(b"sec-websocket-key")
+            if (headers.get(b"upgrade", b"").lower() != b"websocket"
+                    or key is None):
+                self.wfile.write(b"HTTP/1.1 400 Bad Request\r\n"
+                                 b"Connection: close\r\n\r\n")
+                self.wfile.flush()
+                return
+            accept = base64.b64encode(
+                hashlib.sha1(key + _WS_GUID).digest())
+            self.wfile.write(
+                b"HTTP/1.1 101 Switching Protocols\r\n"
+                b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                b"Sec-WebSocket-Accept: " + accept + b"\r\n\r\n")
+            self.wfile.flush()
+        except OSError:
+            return
+        writer = _WsWriter(self.wfile)
+        try:
+            op, data = self._ws_read_message(None, 65536)
+            if op != 1:
+                raise ValueError("hello must be a text message")
+            hello, transfer, resume = self._parse_hello(data)
+        except (_WsClosed, EOFError, OSError):
+            return
+        except (ValueError, UnicodeDecodeError) as e:
+            self._error(f"bad hello: {e}", writer=writer)
+            return
+
+        def make_recv(nbytes, shape, conn):
+            def recv():
+                while True:
+                    try:
+                        op, data = self._ws_read_message(
+                            conn, max(nbytes, 65536))
+                    except _WsClosed:
+                        return None
+                    if op == 1:            # text mid-stream: only "bye"
+                        try:
+                            msg = json.loads(data.decode())
+                        except (ValueError, UnicodeDecodeError):
+                            raise _FramePayloadError("bad text message")
+                        if msg.get("bye"):
+                            return None
+                        continue
+                    if len(data) != nbytes:
+                        raise _FramePayloadError(
+                            f"frame payload {len(data)} != expected "
+                            f"{nbytes} for {transfer}")
+                    return np.frombuffer(data, np.uint8).reshape(shape)
+            return recv
+
+        self._session(hello, transfer, resume, writer, make_recv)
+
+    def _ws_read_message(self, conn, max_len: int):
+        """Next data message -> (opcode, payload bytes): assembles
+        fragments, answers pings in place (under the conn's write lock so
+        pongs never interleave with tick-thread BPM lines), raises
+        :class:`_WsClosed` on a close frame (after echoing it)."""
+        first_op, buf = None, b""
+        while True:
+            fin, op, payload = _ws_read_frame(self.rfile, max_len)
+            if op == 8:                                   # close
+                self._ws_control(conn, 8, payload[:125])
+                raise _WsClosed
+            if op == 9:                                   # ping -> pong
+                self._ws_control(conn, 10, payload)
+                continue
+            if op == 10:                                  # unsolicited pong
+                continue
+            if op in (1, 2):
+                if first_op is not None:
+                    raise ValueError("new message mid-fragment")
+                if fin:
+                    return op, payload
+                first_op, buf = op, payload
+            elif op == 0:
+                if first_op is None:
+                    raise ValueError("continuation without a start frame")
+                buf += payload
+                if len(buf) > max_len + 16:
+                    raise ValueError("fragmented message too long")
+                if fin:
+                    return first_op, buf
+            else:
+                raise ValueError(f"unsupported opcode {op}")
+
+    def _ws_control(self, conn, opcode: int, payload: bytes) -> None:
+        try:
+            if conn is not None:
+                with conn.wlock:
+                    _ws_send(self.wfile, payload, opcode)
+            else:
+                _ws_send(self.wfile, payload, opcode)
+        except OSError:
+            pass
+
+    # --- protocol-agnostic slot session --------------------------------------
+
+    def _session(self, hello: dict, transfer: str, resume, writer,
+                 make_recv):
+        """Everything after a validated hello, shared by both protocols:
+        stats reply, slot attach/resume, frame pump into the tick loop's
+        inbox, and teardown.  ``writer`` frames one JSON line per
+        ``.write()`` (raw wfile for TCP, :class:`_WsWriter` for WS);
+        ``make_recv(nbytes, shape, conn)`` builds the per-protocol frame
+        reader (returns an array per frame, ``None`` on clean end, raises
+        :class:`_FramePayloadError` on protocol errors)."""
+        srv: _BpmTCPServer = self.server
         if hello.get("stats"):
             with srv.clients_lock:
                 connected = len(srv.clients)
@@ -655,8 +906,8 @@ class _BpmHandler(socketserver.StreamRequestHandler):
                            width=srv.frame_shape[1])
             payload["tick_ms_ema"] = round(payload["tick_ms_ema"], 3)
             try:
-                self.wfile.write((json.dumps(payload) + "\n").encode())
-                self.wfile.flush()
+                writer.write((json.dumps(payload) + "\n").encode())
+                writer.flush()
             except OSError:
                 pass
             return
@@ -665,7 +916,7 @@ class _BpmHandler(socketserver.StreamRequestHandler):
         shape = ((h * 3 // 2, w) if transfer == "i420" else (h, w, 3))
         conn = _ClientConn(slot=-1,
                            inbox=queue.Queue(maxsize=srv.max_queue),
-                           wfile=self.wfile)
+                           wfile=writer)
         if resume is not None:
             # Reclaim a warm restored slot: attached in the pool (the
             # snapshot's attach map) but with no live connection.  The
@@ -673,7 +924,8 @@ class _BpmHandler(socketserver.StreamRequestHandler):
             # two resumers cannot adopt the same slot.
             with srv.clients_lock:
                 if resume in srv.clients or not srv.pool.attached(resume):
-                    self._error(f"slot {resume} is not resumable")
+                    self._error(f"slot {resume} is not resumable",
+                                writer=writer)
                     return
                 conn.slot = slot = resume        # no reset: state is warm
                 srv.clients[slot] = conn
@@ -681,26 +933,20 @@ class _BpmHandler(socketserver.StreamRequestHandler):
             try:
                 slot = srv.pool.attach()
             except RuntimeError as e:
-                self._error(str(e))
+                self._error(str(e), writer=writer)
                 return
             conn.slot = slot
             with srv.clients_lock:
                 srv.clients[slot] = conn
+        recv_frame = make_recv(nbytes, shape, conn)
         try:
             with conn.wlock:
-                self.wfile.write((json.dumps({"slot": slot}) + "\n")
-                                 .encode())
-                self.wfile.flush()
+                writer.write((json.dumps({"slot": slot}) + "\n").encode())
+                writer.flush()
             while True:
-                (n,) = struct.unpack("<I", _read_exact(self.rfile, 4))
-                if n == 0:
+                frame = recv_frame()
+                if frame is None:
                     break
-                if n != nbytes:
-                    self._error(f"frame payload {n} != expected {nbytes} "
-                                f"for {transfer}", conn)
-                    break               # hang up; queued frames still drain
-                raw = _read_exact(self.rfile, n)
-                frame = np.frombuffer(raw, np.uint8).reshape(shape)
                 while not conn.closing:      # don't wedge on a full inbox
                     try:                     # after the tick loop drops us
                         conn.inbox.put(frame, timeout=1.0)
@@ -709,7 +955,10 @@ class _BpmHandler(socketserver.StreamRequestHandler):
                         continue
                 if conn.closing:
                     break
-        except (EOFError, OSError):
+        except _FramePayloadError as e:
+            self._error(str(e), conn, writer)
+            # hang up; queued frames still drain
+        except (ValueError, EOFError, OSError):
             pass
         finally:
             # The tick loop owns slot release: it drains the inbox (every
@@ -764,6 +1013,106 @@ class BpmClient:
     def close(self) -> None:
         try:
             self.sock.sendall(struct.pack("<I", 0))
+        except OSError:
+            pass
+        self.sock.close()
+
+
+class WsBpmClient:
+    """WebSocket counterpart of :class:`BpmClient` (same surface: ``slot``,
+    ``send``, ``recv``, ``close``) — masks client frames per RFC 6455, so
+    it exercises exactly the path a browser takes.  ``hello_extra`` merges
+    extra hello fields (e.g. ``{"stats": True}`` -> the reply lands in
+    ``self.stats`` and ``slot`` is ``None``)."""
+
+    def __init__(self, host: str, port: int, transfer: str = "bgr",
+                 timeout: float = 30.0, resume_slot: Optional[int] = None,
+                 hello_extra: Optional[dict] = None):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.rfile = self.sock.makefile("rb")
+        self.transfer = transfer
+        key = base64.b64encode(os.urandom(16)).decode()
+        req = (f"GET /bpm HTTP/1.1\r\nHost: {host}:{port}\r\n"
+               f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+               f"Sec-WebSocket-Key: {key}\r\n"
+               f"Sec-WebSocket-Version: 13\r\n\r\n")
+        self.sock.sendall(req.encode())
+        status = self.rfile.readline()
+        if b"101" not in status:
+            self.sock.close()
+            raise ConnectionError(f"handshake refused: {status!r}")
+        want = base64.b64encode(
+            hashlib.sha1(key.encode() + _WS_GUID).digest())
+        got = None
+        while True:
+            l = self.rfile.readline()
+            if l in (b"\r\n", b"\n", b""):
+                break
+            if l.lower().startswith(b"sec-websocket-accept:"):
+                got = l.split(b":", 1)[1].strip()
+        if got != want:
+            self.sock.close()
+            raise ConnectionError("bad Sec-WebSocket-Accept")
+        hello = {"transfer": transfer}
+        if resume_slot is not None:
+            hello["resume_slot"] = resume_slot
+        if hello_extra:
+            hello.update(hello_extra)
+        self._send_msg(json.dumps(hello).encode(), 0x1)
+        first = json.loads(self._recv_text())
+        self.stats: Optional[dict] = None
+        self.slot: Optional[int] = None
+        if hello.get("stats"):
+            self.stats = first
+        elif "error" in first:
+            self.sock.close()
+            raise ConnectionError(first["error"])
+        else:
+            self.slot = first["slot"]
+
+    def _send_msg(self, payload: bytes, opcode: int) -> None:
+        b0 = 0x80 | opcode
+        n = len(payload)
+        if n < 126:
+            hdr = bytes((b0, 0x80 | n))
+        elif n < 65536:
+            hdr = bytes((b0, 0x80 | 126)) + struct.pack(">H", n)
+        else:
+            hdr = bytes((b0, 0x80 | 127)) + struct.pack(">Q", n)
+        mask = os.urandom(4)
+        self.sock.sendall(hdr + mask + _ws_mask(payload, mask))
+
+    def _recv_text(self) -> str:
+        first_op, buf = None, b""
+        while True:
+            fin, op, payload = _ws_read_frame(self.rfile, 1 << 20,
+                                              require_mask=False)
+            if op == 8:
+                raise ConnectionError("server closed")
+            if op == 9:
+                self._send_msg(payload, 0xA)             # pong
+                continue
+            if op == 10:
+                continue
+            if op in (1, 2):
+                if fin:
+                    return payload.decode()
+                first_op, buf = op, payload
+            elif op == 0:
+                buf += payload
+                if fin:
+                    return buf.decode()
+
+    def send(self, frame: np.ndarray) -> None:
+        self._send_msg(np.ascontiguousarray(frame, np.uint8).tobytes(), 0x2)
+
+    def recv(self) -> dict:
+        return json.loads(self._recv_text())
+
+    def close(self) -> None:
+        try:
+            self._send_msg(json.dumps({"bye": True}).encode(), 0x1)
+            self._send_msg(b"", 0x8)
         except OSError:
             pass
         self.sock.close()
