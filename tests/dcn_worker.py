@@ -92,8 +92,46 @@ def main() -> int:
         mp_out = {"mp_green_last": [round(float(x), 4)
                                     for x in green_mp[:, -1]]}
 
+    # --- SPMD serving farm: BpmServer over the cluster mesh --------------
+    # Host 0 is the camera source (the front-end host in a deployment);
+    # its frames reach every worker over DCN (broadcast_one_to_all), then
+    # every process performs the SAME attach/tick sequence — the pool
+    # dispatches SPMD and fetch() allgathers each tick's packed outputs,
+    # so every host sees every slot's BPM.
+    from jax.experimental import multihost_utils
+    from vhr_tpu import serving
+    from vhr_tpu.pipeline import live as vlive
+
+    S_pool, T = 8, 100
+    if process_id == 0:
+        pool_clips = [synthesize(SynthSpec(duration_s=10.0, height=48,
+                                           width=64, fps=10.0, bpm=78.0,
+                                           noise_std=0.4, seed=100 + s))
+                      for s in range(S_pool)]
+        src = np.stack([c.frames[:T] for c in pool_clips])
+    else:
+        src = np.zeros((S_pool, T, 48, 64, 3), np.uint8)  # no local camera
+    src = np.asarray(multihost_utils.broadcast_one_to_all(src))
+    assert src.any(), "host 0's frames must have arrived over DCN"
+
+    lcfg = vlive.LiveConfig(fps=10.0, ring_len=128,
+                            welch_segment_seconds=4.0)
+    pool = serving.BpmServer(lcfg, n_slots=S_pool, mesh=mesh,
+                             slot_axis="stream")
+    slots = [pool.attach() for _ in range(S_pool)]
+    last = {}
+    for t in range(T):
+        last = pool.tick({s: src[s, t] for s in slots})
+    assert all(bool(o.face_valid) for o in last.values())
+    assert all(bool(o.bpm_valid) for o in last.values())
+    for o in last.values():
+        assert abs(float(o.bpm) - 78.0) <= 10.0, float(o.bpm)
+    farm_out = {"serve_bpm_last": [round(float(last[s].bpm), 4)
+                                   for s in slots],
+                "serve_src_sum": int(src.astype(np.int64).sum())}
+
     with open(os.path.join(outdir, f"ok_{process_id}.json"), "w") as f:
-        json.dump({"bpm_last": bpm[:, -1].tolist(), **mp_out}, f)
+        json.dump({"bpm_last": bpm[:, -1].tolist(), **mp_out, **farm_out}, f)
     return 0
 
 

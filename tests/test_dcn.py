@@ -58,3 +58,9 @@ def test_two_process_stream_farm(tmp_path):
     if "mp_green_last" in r0:
         assert r0["mp_green_last"] == r1["mp_green_last"]
         assert len(r0["mp_green_last"]) == 8
+    # SPMD serving farm: host 0's frames crossed DCN (same checksum on a
+    # host that synthesized only zeros), every slot recovered its BPM, and
+    # both hosts fetched identical per-slot outputs.
+    assert r0["serve_src_sum"] == r1["serve_src_sum"] != 0
+    assert r0["serve_bpm_last"] == r1["serve_bpm_last"]
+    assert len(r0["serve_bpm_last"]) == 8

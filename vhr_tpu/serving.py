@@ -315,6 +315,14 @@ class BpmServer:
         self._needs_reset = np.zeros((n_slots,), bool)
         self._state = init_state_batched(cfg, n_slots, k_faces)
         self._sharding = None
+        # Multi-host (DCN) pools: when the mesh spans processes the pool
+        # runs SPMD — every process constructs the server and performs the
+        # SAME attach/tick sequence (host 0 is the camera/front-end source
+        # and broadcasts frames, e.g. multihost_utils.broadcast_one_to_all;
+        # tests/dcn_worker.py is the working example).  Global arrays are
+        # then assembled per-process from the replicated host batch, and
+        # fetch() allgathers the packed result to every host.
+        self._multiproc = False
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_mesh = int(np.prod(mesh.devices.shape))
@@ -322,7 +330,9 @@ class BpmServer:
                 raise ValueError(f"n_slots={n_slots} must divide across "
                                  f"the {n_mesh}-device mesh")
             self._sharding = NamedSharding(mesh, P(slot_axis))
-            self._state = jax.device_put(self._state, self._sharding)
+            self._multiproc = jax.process_count() > 1
+            self._state = jax.tree.map(
+                lambda x: self._put(np.asarray(x)), self._state)
 
         def f(state, frames, active, reset, phase, args):
             if self._i420:
@@ -344,6 +354,19 @@ class BpmServer:
                                                       det_args)
         self._tick_count = 0      # pool cadence phase (detect_every)
         self._frame_shape: Optional[tuple] = None
+
+    def _put(self, arr):
+        """Host (globally replicated) array -> device array under the
+        pool's sharding.  Single-process: plain device_put.  Multi-host:
+        each process contributes its addressable shards from the same
+        replicated host batch (``make_array_from_callback``)."""
+        if self._sharding is None:
+            return jnp.asarray(arr)
+        if self._multiproc:
+            a = np.asarray(arr)
+            return jax.make_array_from_callback(
+                a.shape, self._sharding, lambda idx: a[idx])
+        return jax.device_put(arr, self._sharding)
 
     def attach(self) -> int:
         """Claim a free slot (its state zeroes on the next tick)."""
@@ -376,6 +399,10 @@ class BpmServer:
         to serving).  Save with ``np.savez(path, **snap)``."""
         with self._lock:
             leaves, treedef = jax.tree.flatten(self._state)
+            if self._multiproc:
+                from jax.experimental import multihost_utils
+                leaves = [multihost_utils.process_allgather(x, tiled=True)
+                          for x in leaves]
             snap = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
             snap["attached"] = np.asarray(self._attached)
             snap["needs_reset"] = self._needs_reset.copy()
@@ -386,13 +413,10 @@ class BpmServer:
         """Inverse of :meth:`snapshot` (accepts an ``np.load`` mapping)."""
         with self._lock:
             leaves, treedef = jax.tree.flatten(self._state)
-            new = [jnp.asarray(np.asarray(snap[f"leaf{i}"]),
-                               leaves[i].dtype)
+            new = [np.asarray(snap[f"leaf{i}"]).astype(leaves[i].dtype)
                    for i in range(len(leaves))]
-            state = jax.tree.unflatten(treedef, new)
-            if self._sharding is not None:
-                state = jax.device_put(state, self._sharding)
-            self._state = state
+            self._state = jax.tree.unflatten(
+                treedef, [self._put(x) for x in new])
             self._attached = [bool(b) for b in np.asarray(snap["attached"])]
             self._needs_reset = np.asarray(snap["needs_reset"]).copy()
             self._tick_count = int(snap["tick_count"])
@@ -428,12 +452,8 @@ class BpmServer:
                 active[s] = True
             reset = self._needs_reset.copy()
             self._needs_reset[:] = False
-            b, ac, rs = (jnp.asarray(batch), jnp.asarray(active),
-                         jnp.asarray(reset))
-            if self._sharding is not None:
-                b = jax.device_put(b, self._sharding)
-                ac = jax.device_put(ac, self._sharding)
-                rs = jax.device_put(rs, self._sharding)
+            b, ac, rs = (self._put(batch), self._put(active),
+                         self._put(reset))
             # The state swap happens under the lock: the step DONATES the
             # old state's buffers, so a concurrent snapshot() must never
             # see them (dispatch is async -- the lock is held only for the
@@ -443,13 +463,19 @@ class BpmServer:
             self._tick_count += 1
         return (list(frames), packed)
 
-    @staticmethod
-    def fetch(handle) -> Dict[int, LiveOutput]:
-        """Materialize a :meth:`tick_async` handle (ONE blocking fetch)."""
+    def fetch(self, handle) -> Dict[int, LiveOutput]:
+        """Materialize a :meth:`tick_async` handle (ONE blocking fetch;
+        on a multi-host pool this is the tick's single DCN allgather —
+        every host sees every slot's output)."""
         if handle is None:
             return {}
         slots, packed = handle
-        a = np.asarray(packed)
+        if self._multiproc:
+            from jax.experimental import multihost_utils
+            a = np.asarray(
+                multihost_utils.process_allgather(packed, tiled=True))
+        else:
+            a = np.asarray(packed)
         return {s: _unpack(a[s]) for s in slots}
 
 
