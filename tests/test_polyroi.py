@@ -70,6 +70,30 @@ def test_polygon_degenerate_vertices_zero():
     np.testing.assert_array_equal(np.asarray(m[0]), 0.0)
 
 
+def test_polygon_means_clip_to_image():
+    """A polygon hanging off the frame edge contributes NO off-image area:
+    means match exact rasterization of the clipped region and count
+    reports only in-image pixels (reference clips its ROI to the frame,
+    ``analysis/utils/roi.py:56-59``; ADVICE r3)."""
+    frame = _gradient_frame()
+    H, W = frame.shape[:2]
+    # Triangle whose left third hangs off x<0 and top corner off y<0.
+    verts = np.array([[-50.0, -10.0], [100.0, 30.0], [20.0, 110.0]],
+                     np.float32)
+    m, c = polyroi.polygon_channel_means(
+        jnp.asarray(frame[None]), jnp.asarray(verts[None]), grid=96)
+    from matplotlib.path import Path
+    pts = np.stack(np.mgrid[0:H, 0:W][::-1], -1).reshape(-1, 2).astype(float)
+    mask = Path(verts).contains_points(pts).reshape(H, W)
+    exact = frame[mask].astype(np.float64).mean(0)
+    npx = mask.sum()
+    # Edge-clamped (unclipped) sampling would drag channel 0 (the x ramp)
+    # toward 0 by replicating column 0; the clipped mean must agree with
+    # the in-image rasterization instead.
+    np.testing.assert_allclose(np.asarray(m[0]), exact, atol=1.0)
+    assert abs(float(c[0]) - npx) / npx < 0.05
+
+
 def test_polygon_bbox_clipping():
     verts = np.array([[[-10.0, 5.5], [200.0, 20.0], [50.0, 300.0]]],
                      np.float32)

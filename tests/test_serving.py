@@ -611,3 +611,97 @@ def test_ws_protocol_robustness(clip):
     assert op == 0x8
     s.close()
     srv.shutdown()
+
+
+def test_auth_token_both_protocols(clip):
+    """A server started with auth_token rejects token-less and wrong-token
+    hellos on BOTH protocols (stats included) and accepts the shared
+    secret — BPM streams are physiological data (ADVICE r3)."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=2, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2],
+                                auth_token="s3cret")
+    port = srv.server_address[1]
+    with pytest.raises(ConnectionError, match="token"):
+        serving.BpmClient("127.0.0.1", port)
+    with pytest.raises(ConnectionError, match="token"):
+        serving.BpmClient("127.0.0.1", port, token="wrong")
+    with pytest.raises(ConnectionError, match="token"):
+        serving.WsBpmClient("127.0.0.1", port)
+    c = serving.BpmClient("127.0.0.1", port, token="s3cret")
+    w = serving.WsBpmClient("127.0.0.1", port, token="s3cret")
+    c.send(clip.frames[0]); w.send(clip.frames[0])
+    assert c.recv()["seq"] == 0 and w.recv()["seq"] == 0
+    # Only the two authorized clients hold slots — the rejected hellos
+    # never consumed pool capacity.
+    assert len(pool._attached) == 2
+    c.close(); w.close()
+    srv.shutdown()
+
+
+def test_ws_origin_allowlist(clip):
+    """Browser-origin WebSocket upgrades are denied by default (403) and
+    admitted only when the Origin is allow-listed; non-browser clients
+    (no Origin header) are unaffected (ADVICE r3: DNS-rebinding guard)."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=2, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2])
+    port = srv.server_address[1]
+    with pytest.raises(ConnectionError, match="403"):
+        serving.WsBpmClient("127.0.0.1", port, origin="http://evil.example")
+    ok = serving.WsBpmClient("127.0.0.1", port)    # no Origin: fine
+    ok.close()
+    srv.shutdown()
+
+    srv2 = serving.serve_forever("127.0.0.1", 0, pool,
+                                 frame_shape=clip.frames[0].shape[:2],
+                                 ws_origins=("http://app.example",))
+    port2 = srv2.server_address[1]
+    good = serving.WsBpmClient("127.0.0.1", port2,
+                               origin="http://app.example")
+    good.send(clip.frames[0])
+    assert good.recv()["seq"] == 0
+    good.close()
+    with pytest.raises(ConnectionError, match="403"):
+        serving.WsBpmClient("127.0.0.1", port2, origin="http://evil.example")
+    srv2.shutdown()
+
+
+def test_ws_control_frame_rules():
+    """RFC 6455 5.1/5.5: unmasked client frames of ANY opcode, fragmented
+    control frames, and >125-byte control payloads are all rejected."""
+    import io as io_mod
+    import struct as struct_mod
+
+    def feed(b0, b1, payload=b"", mask=b"\x00\x00\x00\x00"):
+        buf = bytes((b0, b1)) + (mask if (b1 & 0x80) else b"") + payload
+        return io_mod.BytesIO(buf)
+
+    # Unmasked close frame (opcode 8) from a client: rejected.
+    with pytest.raises(ValueError, match="masked"):
+        serving._ws_read_frame(feed(0x88, 0x00), 1 << 20, require_mask=True)
+    # Fragmented ping (FIN clear, opcode 9): rejected.
+    with pytest.raises(ValueError, match="fragmented"):
+        serving._ws_read_frame(feed(0x09, 0x80), 1 << 20, require_mask=True)
+    # Control frame with a 126-byte payload: rejected before length ext.
+    with pytest.raises(ValueError, match="125"):
+        serving._ws_read_frame(feed(0x89, 0x80 | 126), 1 << 20,
+                               require_mask=True)
+    # Masked, whole, short ping still parses.
+    fin, op, payload = serving._ws_read_frame(
+        feed(0x89, 0x80 | 2, b"hb"), 1 << 20, require_mask=True)
+    assert fin and op == 0x9 and payload == b"hb"
+
+
+def test_serve_forever_rejects_multihost_pool(clip, monkeypatch):
+    """serve_forever refuses a multi-process pool: its tick loop is driven
+    by host-local client traffic, which would break the SPMD collective
+    contract inside tick/fetch/snapshot (ADVICE r3)."""
+    cfg = live.LiveConfig(fps=clip.fps)
+    pool = serving.BpmServer(cfg, n_slots=2, donate=False)
+    monkeypatch.setattr(pool, "_multiproc", True)
+    with pytest.raises(ValueError, match="SPMD|multi-host|every"):
+        serving.serve_forever("127.0.0.1", 0, pool,
+                              frame_shape=clip.frames[0].shape[:2])

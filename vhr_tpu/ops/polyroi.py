@@ -128,6 +128,14 @@ def polygon_channel_means(frames: jnp.ndarray, verts: jnp.ndarray,
     tmp = jnp.einsum("thwc,tgw->thgc", fr, gx)            # (T, H, G, C)
     patch = jnp.einsum("tmh,thgc->tmgc", gy, tmp)         # (T, Gy, Gx, C)
     mask = _convex_mask(verts, xs, ys)                    # (T, Gy, Gx)
+    # Clip to the image: samples whose coordinates fall outside
+    # [0, W) x [0, H) would otherwise edge-clamp (replicating border
+    # pixels into the mean) and over-report the pixel-unit area — the
+    # reference clips its ROI to the frame (analysis/utils/roi.py:56-59),
+    # so off-image polygon area must contribute neither to sums nor count.
+    in_x = jnp.logical_and(xs >= 0.0, xs < float(W)).astype(jnp.float32)
+    in_y = jnp.logical_and(ys >= 0.0, ys < float(H)).astype(jnp.float32)
+    mask = mask * in_y[:, :, None] * in_x[:, None, :]
     sums = jnp.einsum("tmgc,tmg->tc", patch, mask)
     frac = jnp.sum(mask, axis=(1, 2))                     # grid cells
     means = sums / jnp.maximum(frac, 1.0)[:, None]

@@ -410,17 +410,17 @@ def measure_green_avg_multi(frames: jnp.ndarray, fps: float,
                          f"k_faces={k_faces}")
     T = frames.shape[0]
     ts = np.arange(T) / fps
-    bpm = np.zeros((T, k_faces), np.float32)
-    ok = np.zeros((T, k_faces), bool)
-    for k in range(k_faces):
-        green = _fill_invalid(trace.bgr[:, k, cfg.channel], trace.valid[:, k])
-        rolling = vwin.rolling_bpm(
-            green, fps, cfg.band, cfg.window_len(fps),
-            cfg.acquisition_len(fps), estimator=cfg.estimator,
-            segment_seconds=cfg.welch.segment_seconds)
-        bpm[:, k] = np.asarray(rolling.bpm)
-        ok[:, k] = np.asarray(jnp.logical_and(rolling.valid,
-                                              trace.valid[:, k]))
+    # One vmapped dispatch over the face axis (not K separate rolling_bpm
+    # programs): forward-fill and the rolling estimator are pure static-
+    # shape jnp, so the K traces batch into a single XLA call.
+    green = jax.vmap(_fill_invalid, in_axes=1)(
+        trace.bgr[:, :, cfg.channel], trace.valid)         # (K, T)
+    rolling = jax.vmap(lambda g: vwin.rolling_bpm(
+        g, fps, cfg.band, cfg.window_len(fps), cfg.acquisition_len(fps),
+        estimator=cfg.estimator,
+        segment_seconds=cfg.welch.segment_seconds))(green)
+    bpm = np.asarray(rolling.bpm).T.astype(np.float32)     # (T, K)
+    ok = np.asarray(jnp.logical_and(rolling.valid.T, trace.valid))
     return ts, bpm, ok
 
 

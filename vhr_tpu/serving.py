@@ -396,7 +396,11 @@ class BpmServer:
         state, tracks, plus the attach map and cadence phase.  A server
         restart restores mid-acquisition windows instead of losing the
         10-30 s warm-up (the checkpoint/resume story of SURVEY §5, lifted
-        to serving).  Save with ``np.savez(path, **snap)``."""
+        to serving).  Save with ``np.savez(path, **snap)``.
+
+        Multi-host pools: contains a DCN allgather — every process must
+        call ``snapshot()`` at the same point in its tick sequence (the
+        SPMD contract; an admin snapshot on one host alone deadlocks)."""
         with self._lock:
             leaves, treedef = jax.tree.flatten(self._state)
             if self._multiproc:
@@ -424,7 +428,12 @@ class BpmServer:
     def tick(self, frames: Dict[int, np.ndarray]) -> Dict[int, LiveOutput]:
         """Advance every slot that supplied a frame; one device dispatch,
         one packed fetch.  Slots without a frame this tick hold all state
-        (a skipped camera frame, not a dropout)."""
+        (a skipped camera frame, not a dropout).
+
+        Multi-host pools run SPMD: every process must perform the SAME
+        attach/tick/fetch/snapshot sequence with the same arguments
+        (host 0 broadcasts frames; ``tests/dcn_worker.py``) — asymmetric
+        calls deadlock or silently diverge on the collectives inside."""
         return self.fetch(self.tick_async(frames))
 
     def tick_async(self, frames: Dict[int, np.ndarray]):
@@ -466,7 +475,9 @@ class BpmServer:
     def fetch(self, handle) -> Dict[int, LiveOutput]:
         """Materialize a :meth:`tick_async` handle (ONE blocking fetch;
         on a multi-host pool this is the tick's single DCN allgather —
-        every host sees every slot's output)."""
+        every host sees every slot's output, and every host must call
+        fetch() at the same point in its tick sequence — the SPMD
+        contract of :meth:`tick`)."""
         if handle is None:
             return {}
         slots, packed = handle
@@ -526,10 +537,23 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, addr, pool: BpmServer, frame_shape: tuple,
-                 max_queue: int = 64, io_timeout: float = 300.0):
+                 max_queue: int = 64, io_timeout: float = 300.0,
+                 auth_token: Optional[str] = None,
+                 ws_origins: Optional[tuple] = None):
         self.pool = pool
         self.frame_shape = tuple(frame_shape)
         self.max_queue = max_queue
+        # Access control: BPM output is physiological data.  auth_token
+        # (when set) must match the hello's {"token": ...} on BOTH
+        # protocols.  ws_origins governs *browser* clients: a WebSocket
+        # upgrade that carries an Origin header is rejected unless the
+        # origin is allow-listed (or ws_origins is ("*",)) — by default
+        # NO browser origin is accepted, so a random webpage (or a DNS
+        # rebinding page) on the operator's LAN cannot silently attach
+        # pool slots.  Non-browser WS clients send no Origin and are
+        # governed by auth_token alone.
+        self.auth_token = auth_token
+        self.ws_origins = tuple(ws_origins) if ws_origins else ()
         # One socket timeout covers reads AND writes: a client that stops
         # READING its BPM lines would otherwise block the tick thread's
         # sendall forever (head-of-line DoS on the whole pool); a client
@@ -697,14 +721,21 @@ def _ws_read_frame(rfile, max_len: int, require_mask: bool = True):
     op = hdr[0] & 0x0F
     masked = bool(hdr[1] & 0x80)
     n = hdr[1] & 0x7F
+    if op >= 8:                                  # control frame rules
+        if not fin:
+            raise ValueError("fragmented control frame (RFC 6455 5.5)")
+        if n > 125:
+            raise ValueError("control frame payload > 125 (RFC 6455 5.5)")
     if n == 126:
         (n,) = struct.unpack(">H", _read_exact(rfile, 2))
     elif n == 127:
         (n,) = struct.unpack(">Q", _read_exact(rfile, 8))
     if n > max_len + 16:
         raise ValueError(f"frame too long ({n} > {max_len})")
-    if require_mask and not masked and op in (0, 1, 2):
-        raise ValueError("client data frames must be masked (RFC 6455)")
+    if require_mask and not masked:
+        # ALL client frames must be masked, control frames included
+        # (RFC 6455 5.1) — not just data opcodes.
+        raise ValueError("client frames must be masked (RFC 6455)")
     mask = _read_exact(rfile, 4) if masked else b""
     payload = _read_exact(rfile, n)
     if masked:
@@ -766,6 +797,8 @@ class _BpmHandler(socketserver.StreamRequestHandler):
         hello = json.loads(raw.decode() or "{}")
         if not isinstance(hello, dict):
             raise ValueError("hello must be a JSON object")
+        if srv.auth_token is not None and hello.get("token") != srv.auth_token:
+            raise ValueError("bad or missing auth token")
         transfer = hello.get("transfer", "bgr")
         if not hello.get("stats") and transfer != srv.pool.transfer:
             raise ValueError(
@@ -818,6 +851,22 @@ class _BpmHandler(socketserver.StreamRequestHandler):
                                  b"Connection: close\r\n\r\n")
                 self.wfile.flush()
                 return
+            origin = headers.get(b"origin")
+            if origin is not None:
+                # Browser-originated upgrade: enforce the allowlist (a
+                # webpage cannot speak the raw-TCP protocol, but it CAN
+                # open a WebSocket to any host the browser reaches —
+                # including via DNS rebinding).  Default: deny all.
+                try:
+                    o = origin.decode("ascii")
+                except UnicodeDecodeError:
+                    o = None
+                if not ("*" in srv.ws_origins or
+                        (o is not None and o in srv.ws_origins)):
+                    self.wfile.write(b"HTTP/1.1 403 Forbidden\r\n"
+                                     b"Connection: close\r\n\r\n")
+                    self.wfile.flush()
+                    return
             accept = base64.b64encode(
                 hashlib.sha1(key + _WS_GUID).digest())
             self.wfile.write(
@@ -994,12 +1043,34 @@ class _BpmHandler(socketserver.StreamRequestHandler):
 
 
 def serve_forever(host: str, port: int, pool: BpmServer,
-                  frame_shape: tuple, io_timeout: float = 300.0
-                  ) -> _BpmTCPServer:
+                  frame_shape: tuple, io_timeout: float = 300.0,
+                  auth_token: Optional[str] = None,
+                  ws_origins: Optional[tuple] = None) -> _BpmTCPServer:
     """Start the TCP front-end on a background thread; returns the server
-    (``.server_address`` has the bound port; call ``.shutdown()``)."""
+    (``.server_address`` has the bound port; call ``.shutdown()``).
+
+    ``auth_token``: when set, every hello (raw TCP and WebSocket, stats
+    included) must carry a matching ``{"token": ...}`` field.
+    ``ws_origins``: allowlist for *browser* WebSocket upgrades — an
+    upgrade carrying an Origin header is rejected with 403 unless its
+    origin is listed (``("*",)`` allows any).  Default: deny all browser
+    origins.  Either way, do not expose the port beyond trusted hosts
+    without a token — BPM streams are physiological data.
+
+    Multi-host pools are rejected: the tick loop here is driven by
+    host-local client traffic, but a multi-process pool's tick/fetch/
+    snapshot contain collectives and MUST run the same call sequence on
+    every host (see :class:`BpmServer`; ``tests/dcn_worker.py`` is the
+    working SPMD example)."""
+    if pool._multiproc:
+        raise ValueError(
+            "serve_forever drives ticks from host-local client traffic; "
+            "a multi-host pool must run the SPMD tick sequence on every "
+            "host (tick/fetch/snapshot contain collectives — see "
+            "BpmServer and tests/dcn_worker.py)")
     srv = _BpmTCPServer((host, port), pool, frame_shape,
-                        io_timeout=io_timeout)
+                        io_timeout=io_timeout, auth_token=auth_token,
+                        ws_origins=ws_origins)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv
@@ -1013,15 +1084,20 @@ class BpmClient:
     """
 
     def __init__(self, host: str, port: int, transfer: str = "bgr",
-                 timeout: float = 30.0, resume_slot: Optional[int] = None):
+                 timeout: float = 30.0, resume_slot: Optional[int] = None,
+                 token: Optional[str] = None):
         """``resume_slot``: reclaim a warm slot after a server restart
-        with ``--restore`` (the snapshot keeps the attach map)."""
+        with ``--restore`` (the snapshot keeps the attach map).
+        ``token``: shared secret for servers started with
+        ``auth_token``."""
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.rfile = self.sock.makefile("rb")
         self.transfer = transfer
         hello = {"transfer": transfer}
         if resume_slot is not None:
             hello["resume_slot"] = resume_slot
+        if token is not None:
+            hello["token"] = token
         self.sock.sendall((json.dumps(hello) + "\n").encode())
         accept = json.loads(self.rfile.readline().decode())
         if "error" in accept:
@@ -1053,14 +1129,21 @@ class WsBpmClient:
 
     def __init__(self, host: str, port: int, transfer: str = "bgr",
                  timeout: float = 30.0, resume_slot: Optional[int] = None,
-                 hello_extra: Optional[dict] = None):
+                 hello_extra: Optional[dict] = None,
+                 token: Optional[str] = None,
+                 origin: Optional[str] = None):
+        """``token``: shared secret for ``auth_token`` servers.
+        ``origin``: send an Origin header (what a browser does) — the
+        server rejects it with 403 unless allow-listed via
+        ``ws_origins``."""
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.rfile = self.sock.makefile("rb")
         self.transfer = transfer
         key = base64.b64encode(os.urandom(16)).decode()
         req = (f"GET /bpm HTTP/1.1\r\nHost: {host}:{port}\r\n"
                f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
-               f"Sec-WebSocket-Key: {key}\r\n"
+               + (f"Origin: {origin}\r\n" if origin is not None else "")
+               + f"Sec-WebSocket-Key: {key}\r\n"
                f"Sec-WebSocket-Version: 13\r\n\r\n")
         self.sock.sendall(req.encode())
         status = self.rfile.readline()
@@ -1082,6 +1165,8 @@ class WsBpmClient:
         hello = {"transfer": transfer}
         if resume_slot is not None:
             hello["resume_slot"] = resume_slot
+        if token is not None:
+            hello["token"] = token
         if hello_extra:
             hello.update(hello_extra)
         self._send_msg(json.dumps(hello).encode(), 0x1)
