@@ -463,3 +463,123 @@ def test_live_pipeline_frames_per_call(clip):
 
     with pytest.raises(ValueError):
         live.LivePipeline(cfg, fetch_every=2, frames_per_call=2)
+
+
+# --- motion-robust methods on the live surface (LiveConfig.method) ---------
+
+
+def test_live_projection_methods_recover_bpm():
+    """chrom/pos/omit/adaptive live steps all resolve the injected rate on
+    a clean clip (the live counterparts of offline.measure_projection /
+    measure_adaptive; the reference's streaming mode has only green,
+    rppg_LIVESTREAM.py:245-251)."""
+    c = synthesize(SynthSpec(duration_s=14.0, bpm=84.0, height=48, width=64,
+                             fps=10.0, noise_std=0.5))
+    for method in ("chrom", "pos", "omit", "adaptive"):
+        cfg = live.LiveConfig(fps=c.fps, ring_len=120, method=method)
+        st = live.init_state(cfg)
+        stp = live.make_step(cfg, donate=False)
+        for f in c.frames:
+            st, out = stp(st, jnp.asarray(f))
+        assert bool(out.bpm_valid), method
+        assert abs(float(out.bpm) - 84.0) <= 8.0, method
+
+
+def test_live_method_green_unchanged():
+    """method='green' is bit-identical to the pre-method live step (the
+    ring_bgr addition must not perturb the reference-parity path)."""
+    c = synthesize(SynthSpec(duration_s=12.0, bpm=78.0, height=48, width=64,
+                             fps=10.0, noise_std=0.4, seed=3))
+    cfg = live.LiveConfig(fps=c.fps, ring_len=120)       # default green
+    st = live.init_state(cfg)
+    stp = live.make_step(cfg, donate=False)
+    outs = []
+    for f in c.frames:
+        st, o = stp(st, jnp.asarray(f))
+        outs.append(o)
+    # The green path Welches the SOS-filtered ring; recompute from the
+    # emitted filtered samples (all frames valid on this clip).
+    assert all(bool(o.face_valid) for o in outs)
+    x = np.array([float(o.green_filtered) for o in outs])
+    nperseg = int(cfg.welch_segment_seconds * cfg.fps)
+    freqs, psd = sp.welch(x - x.mean(), fs=cfg.fps, window="hann",
+                          nperseg=nperseg, noverlap=nperseg // 2,
+                          detrend="constant", average="mean")
+    band = (freqs >= cfg.band.low_hz) & (freqs <= cfg.band.high_hz)
+    ref_bpm = freqs[band][np.argmax(psd[band])] * 60.0
+    assert float(outs[-1].bpm) == pytest.approx(ref_bpm, abs=1e-3)
+    assert int(outs[-1].choice) == 0
+
+
+def test_live_method_steady_state_matches_offline_pulse():
+    """Once the ring is full, a projection method's live BPM equals the
+    OFFLINE pulse construction (dsp.projections) applied to the trailing
+    ring_len BGR means + the masked Welch — streaming == offline, through
+    the step's carried ring/rotation bookkeeping."""
+    from vhr_tpu.dsp import projections as proj
+    from vhr_tpu.pipeline import offline
+
+    c = synthesize(SynthSpec(duration_s=18.0, bpm=84.0, height=48, width=64,
+                             fps=10.0, noise_std=0.5, seed=5))
+    N = 120
+    trace = offline.extract_signals(jnp.asarray(c.frames),
+                                    offline.PipelineConfig())
+    assert bool(np.asarray(trace.valid).all())
+    for method, fn in (("chrom", proj.chrom_pulse),
+                       ("pos", proj.pos_pulse),
+                       ("omit", proj.omit_pulse)):
+        cfg = live.LiveConfig(fps=c.fps, ring_len=N, method=method)
+        st = live.init_state(cfg)
+        stp = live.make_step(cfg, donate=False)
+        for f in c.frames:
+            st, out = stp(st, jnp.asarray(f))
+        tail = jnp.asarray(np.asarray(trace.bgr)[-N:])       # (N, 3)
+        pulse = fn(tail, jnp.ones((N,), bool), c.fps)
+        exp_bpm, exp_valid = live._masked_welch_bpm(
+            pulse, jnp.int32(N), cfg.fps, cfg.band,
+            cfg.welch_segment_seconds)
+        assert bool(out.bpm_valid) == bool(exp_valid), method
+        assert float(out.bpm) == pytest.approx(float(exp_bpm),
+                                               abs=1e-4), method
+
+
+def test_live_adaptive_rejects_flicker_green_does_not():
+    """In-band common-mode illumination flicker captures the green live
+    path (it locks to the flicker frequency); the adaptive selector routes
+    to a projection and recovers the true pulse — the offline
+    test_adaptive scenario on the LIVE surface."""
+    c = synthesize(SynthSpec(duration_s=16.0, bpm=72.0, height=48, width=64,
+                             fps=10.0, noise_std=0.3,
+                             flicker_bpm=120.0, flicker_amp=0.15))
+    outs = {}
+    for method in ("green", "adaptive"):
+        cfg = live.LiveConfig(fps=c.fps, ring_len=120, method=method)
+        st = live.init_state(cfg)
+        stp = live.make_step(cfg, donate=False)
+        for f in c.frames:
+            st, out = stp(st, jnp.asarray(f))
+        outs[method] = out
+    assert bool(outs["green"].bpm_valid)
+    assert abs(float(outs["green"].bpm) - 120.0) <= 6.0      # fooled
+    assert bool(outs["adaptive"].bpm_valid)
+    assert abs(float(outs["adaptive"].bpm) - 72.0) <= 6.0    # not fooled
+    assert int(outs["adaptive"].choice) != 0                 # a projection
+
+
+def test_live_multi_method_projection():
+    """K-subject live steps honor LiveConfig.method (vmapped per-face
+    ring recompute)."""
+    from vhr_tpu.utils.synth import FaceSpec, synthesize_multi
+
+    duo = synthesize_multi(
+        (FaceSpec(center=(0.28, 0.45), bpm=84.0),
+         FaceSpec(center=(0.72, 0.45), bpm=66.0)),
+        height=64, width=96, fps=10.0, duration_s=14.0, noise_std=0.5)
+    cfg = live.LiveConfig(fps=duo.fps, ring_len=120, method="pos")
+    st = live.init_state_multi(cfg, k_faces=2)
+    stp = live.make_step_multi(cfg, k_faces=2, donate=False)
+    for f in duo.frames:
+        st, out = stp(st, jnp.asarray(f))
+    bpms = sorted(float(b) for b in np.asarray(out.bpm))
+    assert all(bool(v) for v in np.asarray(out.bpm_valid))
+    assert abs(bpms[0] - 66.0) <= 8.0 and abs(bpms[1] - 84.0) <= 8.0

@@ -705,3 +705,47 @@ def test_serve_forever_rejects_multihost_pool(clip, monkeypatch):
     with pytest.raises(ValueError, match="SPMD|multi-host|every"):
         serving.serve_forever("127.0.0.1", 0, pool,
                               frame_shape=clip.frames[0].shape[:2])
+
+
+def test_pool_projection_method_matches_single(clip, clip2):
+    """A method='pos' pool reproduces the single-stream live step exactly
+    (the motion-robust constructions reach the serving surface with the
+    same per-slot semantics)."""
+    cfg = live.LiveConfig(fps=clip.fps, ring_len=120, method="pos")
+    srv = serving.BpmServer(cfg, n_slots=2, donate=False)
+    a, b = srv.attach(), srv.attach()
+    outs_a = []
+    for fa, fb in zip(clip.frames, clip2.frames):
+        outs_a.append(srv.tick({a: fa, b: fb})[a])
+    ref_a = _single_trace(cfg, clip.frames)
+    np.testing.assert_allclose(
+        np.array([float(o.bpm) for o in outs_a]),
+        np.array([float(o.bpm) for o in ref_a]), rtol=0, atol=1e-3)
+    assert ([bool(o.bpm_valid) for o in outs_a]
+            == [bool(o.bpm_valid) for o in ref_a])
+    assert bool(outs_a[-1].bpm_valid)
+    assert abs(float(outs_a[-1].bpm) - 84.0) <= 8.0
+
+
+def test_served_adaptive_client_rejects_flicker():
+    """The offline flicker scenario (tests/test_adaptive.py), end-to-end
+    through a served TCP client: an adaptive pool routes away from the
+    flicker-captured green mean and reports which method won."""
+    flick = synthesize(SynthSpec(duration_s=16.0, bpm=72.0, height=48,
+                                 width=64, fps=10.0, noise_std=0.3,
+                                 flicker_bpm=120.0, flicker_amp=0.15))
+    cfg = live.LiveConfig(fps=flick.fps, ring_len=120, method="adaptive")
+    pool = serving.BpmServer(cfg, n_slots=2, donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=flick.frames[0].shape[:2])
+    port = srv.server_address[1]
+    c = serving.BpmClient("127.0.0.1", port)
+    for f in flick.frames:
+        c.send(f)
+    outs = [c.recv() for _ in flick.frames]
+    c.close()
+    srv.shutdown()
+    last = outs[-1]
+    assert last["bpm_valid"]
+    assert abs(last["bpm"] - 72.0) <= 6.0             # pulse, not flicker
+    assert last["method"] in ("chrom", "pos", "omit")  # observability

@@ -72,6 +72,22 @@ def main(argv=None) -> int:
     p.add_argument("--transfer", choices=("bgr", "i420"), default="bgr",
                    help="wire format clients must send (i420 = 2x fewer "
                         "bytes; see serving.py protocol)")
+    p.add_argument("--method",
+                   choices=("green", "chrom", "pos", "omit", "adaptive"),
+                   default="green",
+                   help="pulse construction per tick: green (reference "
+                        "streaming parity), a motion-robust projection "
+                        "(chrom/pos/omit), or adaptive SNR-ranked "
+                        "selection (adds a 'method' field per output)")
+    p.add_argument("--auth-token", default=None,
+                   help="shared secret: every client hello must carry a "
+                        "matching {'token': ...} (BPM is physiological "
+                        "data; set this on any non-loopback bind)")
+    p.add_argument("--ws-origin", action="append", default=None,
+                   metavar="ORIGIN",
+                   help="allow-listed browser Origin for WebSocket "
+                        "upgrades (repeatable; '*' allows any). Default: "
+                        "all browser origins rejected")
     p.add_argument("--max-seconds", type=float, default=None,
                    help="serve for a bounded time then exit (smoke tests, "
                         "draining deploys); default: forever")
@@ -93,7 +109,8 @@ def main(argv=None) -> int:
 
     detector = (_resolve_detector(args.detector) if args.faces == 1
                 else _resolve_detector_multi(args.detector, args.faces))
-    cfg = live.LiveConfig(fps=args.fps, detect_every=args.detect_every)
+    cfg = live.LiveConfig(fps=args.fps, detect_every=args.detect_every,
+                          method=args.method)
     pool = BpmServer(cfg, n_slots=args.slots, detector=detector,
                      transfer=args.transfer, k_faces=args.faces)
     if args.restore:
@@ -103,7 +120,10 @@ def main(argv=None) -> int:
         print(f"restored pool state from {args.restore} "
               f"({len(pool.active_slots)} live slots)")
     srv = serve_forever(args.host, args.port, pool,
-                        frame_shape=(args.height, args.width))
+                        frame_shape=(args.height, args.width),
+                        auth_token=args.auth_token,
+                        ws_origins=tuple(args.ws_origin)
+                        if args.ws_origin else None)
     host, port = srv.server_address[:2]
     print(f"serving {args.slots} slots of {args.width}x{args.height} "
           f"({args.transfer}, detector={args.detector}) on {host}:{port}")

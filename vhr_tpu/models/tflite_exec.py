@@ -175,7 +175,15 @@ def build_jax(graph: Subgraph, compute_dtype=None):
                                   for s in tensors[op.inputs[1]].data)
                 if shape is None:
                     shape = tensors[o].shape     # static output shape
-                y = jnp.reshape(get(op.inputs[0]), shape)
+                xin = get(op.inputs[0])
+                shape = tuple(int(s) for s in shape)
+                if int(np.prod(shape)) != xin.size and shape[0] == 1:
+                    # Batch-agnostic reshape: the flatbuffer bakes batch-1
+                    # target shapes; scale the leading dim so apply() also
+                    # accepts a flat (B, ...) batch without vmap.
+                    b = xin.size // int(np.prod(shape))
+                    shape = (b,) + shape[1:]
+                y = jnp.reshape(xin, shape)
             elif op.op == "CONCATENATION":
                 y = jnp.concatenate([get(i) for i in op.inputs],
                                     axis=op.options["axis"])

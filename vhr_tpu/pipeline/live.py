@@ -34,16 +34,17 @@ __all__ = ["LiveConfig", "LiveState", "LiveOutput", "init_state", "step",
 
 
 def pack_output(o: "LiveOutput") -> "jnp.ndarray":
-    """LiveOutput -> one ``(..., 9)`` float32 tensor (in-jit), so the whole
+    """LiveOutput -> one ``(..., 10)`` float32 tensor (in-jit), so the whole
     step result crosses the link as ONE fetch — per-field fetches cost a
     round trip each.  Inverse: :func:`unpack_output`.  Shared by the live
-    pipeline and the serving pool (the 9-slot layout is load-bearing in
+    pipeline and the serving pool (the 10-slot layout is load-bearing in
     both)."""
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return jnp.concatenate([
         jnp.stack([f32(o.bpm), f32(o.bpm_valid), f32(o.green_raw),
                    f32(o.green_filtered), f32(o.face_valid)], axis=-1),
-        f32(o.box)], axis=-1)
+        f32(o.box),
+        f32(o.choice)[..., None]], axis=-1)
 
 
 def unpack_output(a: "np.ndarray") -> "LiveOutput":
@@ -51,7 +52,8 @@ def unpack_output(a: "np.ndarray") -> "LiveOutput":
     return LiveOutput(bpm=a[..., 0], bpm_valid=a[..., 1] > 0.5,
                       green_raw=a[..., 2], green_filtered=a[..., 3],
                       box=a[..., 5:9].astype(np.int32),
-                      face_valid=a[..., 4] > 0.5)
+                      face_valid=a[..., 4] > 0.5,
+                      choice=a[..., 9].astype(np.int32))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +84,20 @@ class LiveConfig:
     # Measurement site ("cheek" | "forehead"); the fused kernel is
     # cheek-only (PipelineConfig.roi_site semantics).
     roi_site: str = "cheek"
+    # Pulse construction on the live surface.  "green" is reference parity
+    # (raw green mean -> causal SOS -> Welch, rppg_LIVESTREAM.py:245-251).
+    # "chrom" | "pos" | "omit" recompute the motion-robust projection
+    # (dsp.projections) over the BGR-means ring each tick: once the ring
+    # is full this is EXACTLY the offline pulse over the trailing
+    # ring_len frames (pinned in tests/test_live.py).  "adaptive" builds
+    # all of ``adaptive_methods`` and takes each tick's BPM from the
+    # method with the best consensus-anchored Welch SNR — the live
+    # counterpart of pipeline.offline.adaptive_pulse_select (the
+    # reference's streaming mode has only green).
+    method: str = "green"
+    proj_window_seconds: float = 1.6
+    adaptive_methods: Tuple[str, ...] = ("green", "chrom", "pos", "omit")
+    snr_guard_bins: int = 1
 
 
 class LiveState(NamedTuple):
@@ -96,6 +112,9 @@ class LiveState(NamedTuple):
                               # valid or not — the fused kernel's cadence
                               # phase, so detect_every/rescan_every track
                               # wall time even through track loss)
+    ring_bgr: jnp.ndarray     # (N, 3) raw BGR ROI means (circular, same
+                              # pointer as ring_raw) — the projection
+                              # methods' input window
 
 
 class LiveOutput(NamedTuple):
@@ -105,6 +124,10 @@ class LiveOutput(NamedTuple):
     green_filtered: jnp.ndarray
     box: jnp.ndarray
     face_valid: jnp.ndarray
+    # Index into cfg.adaptive_methods behind this tick's BPM (0 for
+    # non-adaptive methods) — selection observability, mirroring
+    # offline.AdaptiveResult.choice.
+    choice: jnp.ndarray
 
 
 def _sos(cfg: LiveConfig) -> np.ndarray:
@@ -124,18 +147,17 @@ def init_state(cfg: LiveConfig = LiveConfig()) -> LiveState:
         hold_budget=jnp.int32(0),
         has_last=jnp.asarray(False),
         frame_idx=jnp.int32(0),
+        ring_bgr=jnp.zeros((cfg.ring_len, 3), jnp.float32),
     )
 
 
-def _masked_welch_bpm(ordered: jnp.ndarray, n_valid: jnp.ndarray,
-                      fps: float, band: HRBand, segment_seconds: float
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Welch PSD peak over the chronologically-ordered ring.
-
-    ``ordered[-n_valid:]`` is real data (older slots zero).  Segments fully
-    inside the valid suffix contribute to the mean PSD; with a full ring this
-    is exactly the reference's ``estimate_bpm_welch`` on the 500-deque.
-    """
+def _masked_welch_psd(ordered: jnp.ndarray, n_valid: jnp.ndarray,
+                      fps: float, band: HRBand, segment_seconds: float):
+    """Masked Welch core over the chronologically-ordered ring:
+    -> ``(mean_psd (B,), band_freqs (B,) np.ndarray, valid ())`` or
+    ``None`` for a degenerate band/fps config.  Shared by the BPM peak
+    pick (:func:`_masked_welch_bpm`) and the adaptive selector's SNR
+    scoring (:func:`_method_bpm`)."""
     N = ordered.shape[0]
     nperseg = int(min(N, fps * segment_seconds))
     noverlap = nperseg // 2
@@ -169,7 +191,7 @@ def _masked_welch_bpm(ordered: jnp.ndarray, n_valid: jnp.ndarray,
     freqs = np.fft.rfftfreq(nperseg, d=1.0 / fps)
     band_idx = np.where((freqs >= band.low_hz) & (freqs <= band.high_hz))[0]
     if band_idx.size == 0:               # degenerate band/fps config
-        return jnp.float32(0.0), jnp.asarray(False)
+        return None
     ang = (2.0 * np.pi / nperseg) * np.outer(np.arange(nperseg), band_idx)
     cos_m = jnp.asarray(np.cos(ang) * win[:, None], jnp.float32)  # (L, B)
     sin_m = jnp.asarray(np.sin(ang) * win[:, None], jnp.float32)
@@ -185,11 +207,122 @@ def _masked_welch_bpm(ordered: jnp.ndarray, n_valid: jnp.ndarray,
 
     w = seg_ok.astype(jnp.float32)[:, None]
     mean_psd = jnp.sum(psd * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-
-    k = jnp.argmax(mean_psd)
-    bpm = jnp.asarray(freqs[band_idx], jnp.float32)[k] * 60.0
     valid = jnp.logical_and(jnp.any(seg_ok), n_valid >= nperseg)
+    return mean_psd, freqs[band_idx], valid
+
+
+def _masked_welch_bpm(ordered: jnp.ndarray, n_valid: jnp.ndarray,
+                      fps: float, band: HRBand, segment_seconds: float
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Welch PSD peak over the chronologically-ordered ring.
+
+    ``ordered[-n_valid:]`` is real data (older slots zero).  Segments fully
+    inside the valid suffix contribute to the mean PSD; with a full ring this
+    is exactly the reference's ``estimate_bpm_welch`` on the 500-deque.
+    """
+    res = _masked_welch_psd(ordered, n_valid, fps, band, segment_seconds)
+    if res is None:                      # degenerate band/fps config
+        return jnp.float32(0.0), jnp.asarray(False)
+    mean_psd, band_freqs, valid = res
+    k = jnp.argmax(mean_psd)
+    bpm = jnp.asarray(band_freqs, jnp.float32)[k] * 60.0
     return bpm, valid
+
+
+def _ring_pulse(method: str, ordered_bgr: jnp.ndarray,
+                ordered_green: jnp.ndarray, n_valid: jnp.ndarray,
+                fps: float, window_seconds: float) -> jnp.ndarray:
+    """Pulse construction over the ordered ring -> (N,).
+
+    The valid suffix (``ordered[-n_valid:]``) is real data; the projection
+    functions forward-fill the zero prefix from the first valid sample, so
+    once the ring is FULL the result is exactly
+    ``dsp.projections.<method>_pulse`` over the trailing ``N`` frames
+    (steady-state offline == streaming, pinned in tests/test_live.py).
+    """
+    from ..dsp import projections as proj
+
+    if method == "green":
+        return ordered_green
+    N = ordered_bgr.shape[0]
+    suffix = jnp.arange(N) >= (N - n_valid)
+    if method == "chrom":
+        return proj.chrom_pulse(ordered_bgr, suffix, fps,
+                                interval_seconds=window_seconds)
+    if method == "pos":
+        return proj.pos_pulse(ordered_bgr, suffix, fps,
+                              window_seconds=window_seconds)
+    if method == "omit":
+        return proj.omit_pulse(ordered_bgr, suffix, fps,
+                               window_seconds=window_seconds)
+    raise ValueError(f"unknown live method {method!r}")
+
+
+def _welch_snr(mean_psd: jnp.ndarray, band_freqs: np.ndarray,
+               target_bpm: jnp.ndarray, guard_bins: int) -> jnp.ndarray:
+    """In-band SNR of a Welch PSD around a target frequency: power within
+    ±guard_bins bins of ``target_bpm`` over the remaining in-band power —
+    ``dsp.spectral.band_snr``'s targeted form evaluated on the live
+    Welch's banded grid (the adaptive selector's score)."""
+    f = jnp.asarray(band_freqs, jnp.float32)
+    df = float(band_freqs[1] - band_freqs[0]) if len(band_freqs) > 1 else 1.0
+    near = jnp.abs(f - target_bpm / 60.0) <= (guard_bins + 0.5) * df
+    peak = jnp.sum(jnp.where(near, mean_psd, 0.0))
+    rest = jnp.sum(mean_psd) - peak
+    return peak / jnp.maximum(rest, 1e-12)
+
+
+def _method_bpm(cfg: LiveConfig, ring_raw: jnp.ndarray,
+                ring_bgr: jnp.ndarray, ring_filt: jnp.ndarray,
+                count: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One slot's per-tick BPM under ``cfg.method``: -> (bpm, valid,
+    choice).  "green" is the reference streaming path (Welch over the
+    causally-SOS-filtered ring) bit-identical to rounds <=3; projection
+    methods Welch the recomputed pulse; "adaptive" scores every candidate
+    by consensus-anchored Welch SNR (offline.adaptive_pulse_select's
+    selection rule on the ring window)."""
+    N = cfg.ring_len
+    n_valid = jnp.minimum(count, N)
+    r = jnp.mod(count, N)
+    if cfg.method == "green":
+        ordered = jnp.roll(ring_filt, -r)
+        bpm, valid = _masked_welch_bpm(ordered, n_valid, cfg.fps, cfg.band,
+                                       cfg.welch_segment_seconds)
+        return bpm, valid, jnp.int32(0)
+
+    ordered_bgr = jnp.roll(ring_bgr, -r, axis=0)
+    ordered_green = jnp.roll(ring_raw, -r)
+    if cfg.method != "adaptive":
+        pulse = _ring_pulse(cfg.method, ordered_bgr, ordered_green, n_valid,
+                            cfg.fps, cfg.proj_window_seconds)
+        bpm, valid = _masked_welch_bpm(pulse, n_valid, cfg.fps, cfg.band,
+                                       cfg.welch_segment_seconds)
+        return bpm, valid, jnp.int32(0)
+
+    bpms, oks, psds = [], [], []
+    band_freqs = None
+    for m in cfg.adaptive_methods:
+        pulse = _ring_pulse(m, ordered_bgr, ordered_green, n_valid,
+                            cfg.fps, cfg.proj_window_seconds)
+        res = _masked_welch_psd(pulse, n_valid, cfg.fps, cfg.band,
+                                cfg.welch_segment_seconds)
+        if res is None:                  # degenerate band/fps config
+            return jnp.float32(0.0), jnp.asarray(False), jnp.int32(0)
+        mean_psd, band_freqs, ok = res
+        k = jnp.argmax(mean_psd)
+        bpms.append(jnp.asarray(band_freqs, jnp.float32)[k] * 60.0)
+        oks.append(ok)
+        psds.append(mean_psd)
+    bpm_m = jnp.stack(bpms)                              # (M,)
+    ok_m = jnp.stack(oks)
+    consensus = jnp.nanmedian(jnp.where(ok_m, bpm_m, jnp.nan))
+    consensus = jnp.nan_to_num(consensus)
+    snr_m = jnp.stack([_welch_snr(p, band_freqs, consensus,
+                                  cfg.snr_guard_bins) for p in psds])
+    ranked = jnp.where(ok_m, snr_m, -jnp.inf)
+    choice = jnp.argmax(ranked).astype(jnp.int32)
+    return bpm_m[choice], ok_m[choice], choice
 
 
 def step(state: LiveState, frame: jnp.ndarray, cfg: LiveConfig,
@@ -239,7 +372,8 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
             gate_margin=cfg.gate_margin,
             interpret=jax.default_backend() != "tpu",
             t_len=1, phase=state.frame_idx)
-        green = res.means[0, 1]
+        bgr_means = res.means[0]
+        green = bgr_means[1]
         face_valid = res.roi_valid[0]
         new_last = carry_out[0:4]
         new_budget = carry_out[4]
@@ -284,7 +418,8 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
                                    cfg.roi_site)[0]
         roi = jnp.where(face_valid, roi, 0)
         means, _ = vreduce.roi_channel_means(frame[None], roi[None])
-        green = means[0, 1]
+        bgr_means = means[0]
+        green = bgr_means[1]
 
     # Causal streaming SOS push (rppg_LIVESTREAM.py:245-251).
     filt, zi = filters.sos_stream_push(sos, state.zi, green)
@@ -296,21 +431,23 @@ def _step_impl(state: LiveState, frame: jnp.ndarray, det_args,
                          state.ring_raw.at[ptr].set(green), state.ring_raw)
     ring_filt = jnp.where(face_valid,
                           state.ring_filt.at[ptr].set(filt), state.ring_filt)
+    ring_bgr = jnp.where(face_valid,
+                         state.ring_bgr.at[ptr].set(bgr_means),
+                         state.ring_bgr)
     count = state.count + face_valid.astype(jnp.int32)
     zi = jnp.where(face_valid, zi, state.zi)
 
-    n_valid = jnp.minimum(count, cfg.ring_len)
-    ordered = jnp.roll(ring_filt, -jnp.mod(count, cfg.ring_len))
-    bpm, bpm_valid = _masked_welch_bpm(ordered, n_valid, cfg.fps, cfg.band,
-                                       cfg.welch_segment_seconds)
+    bpm, bpm_valid, choice = _method_bpm(cfg, ring_raw, ring_bgr, ring_filt,
+                                         count)
 
     new_state = LiveState(ring_raw=ring_raw, ring_filt=ring_filt,
                           count=count, zi=zi, last_box=new_last,
                           hold_budget=new_budget, has_last=new_has,
-                          frame_idx=state.frame_idx + 1)
+                          frame_idx=state.frame_idx + 1,
+                          ring_bgr=ring_bgr)
     out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
                      green_filtered=filt, box=new_last,
-                     face_valid=face_valid)
+                     face_valid=face_valid, choice=choice)
     return new_state, out
 
 
@@ -530,6 +667,7 @@ class MultiLiveState(NamedTuple):
     has_last: jnp.ndarray     # (K,) bool
     frame_idx: jnp.ndarray    # () wall-frame counter (cadence phase,
                               # advances every frame — LiveState.frame_idx)
+    ring_bgr: jnp.ndarray     # (K, N, 3) raw BGR ROI means (circular)
 
 
 def init_state_multi(cfg: LiveConfig = LiveConfig(),
@@ -545,6 +683,7 @@ def init_state_multi(cfg: LiveConfig = LiveConfig(),
         hold_budget=jnp.zeros((K,), jnp.int32),
         has_last=jnp.zeros((K,), bool),
         frame_idx=jnp.int32(0),
+        ring_bgr=jnp.zeros((K, cfg.ring_len, 3), jnp.float32),
     )
 
 
@@ -590,7 +729,8 @@ def _step_multi_impl(state: MultiLiveState, frame: jnp.ndarray,
     # One frame read for all K ROIs (not a K-fold broadcast) — this is the
     # 33 ms-budget path.
     means, _ = vreduce.roi_channel_means_multi(frame[None], rois[None])
-    green = means[0, :, 1]                                    # (K,)
+    bgr_means = means[0]                                      # (K, 3)
+    green = bgr_means[:, 1]                                   # (K,)
 
     filt, zi = jax.vmap(lambda z, g: filters.sos_stream_push(sos, z, g))(
         state.zi, green)
@@ -603,23 +743,24 @@ def _step_multi_impl(state: MultiLiveState, frame: jnp.ndarray,
     ring_filt = jnp.where(face_valid[:, None],
                           state.ring_filt.at[k_idx, ptr].set(filt),
                           state.ring_filt)
+    ring_bgr = jnp.where(face_valid[:, None, None],
+                         state.ring_bgr.at[k_idx, ptr].set(bgr_means),
+                         state.ring_bgr)
     count = state.count + face_valid.astype(jnp.int32)
     zi = jnp.where(face_valid[:, None, None], zi, state.zi)
 
-    n_valid = jnp.minimum(count, cfg.ring_len)
-    roll = jnp.mod(count, cfg.ring_len)
-    ordered = jax.vmap(lambda r, s: jnp.roll(r, -s))(ring_filt, roll)
-    bpm, bpm_valid = jax.vmap(
-        lambda o, n: _masked_welch_bpm(o, n, cfg.fps, cfg.band,
-                                       cfg.welch_segment_seconds))(
-        ordered, n_valid)
+    bpm, bpm_valid, choice = jax.vmap(
+        lambda rr, rb, rf, c: _method_bpm(cfg, rr, rb, rf, c))(
+        ring_raw, ring_bgr, ring_filt, count)
 
     new_state = MultiLiveState(ring_raw=ring_raw, ring_filt=ring_filt,
                                count=count, zi=zi, last_box=new_last,
                                hold_budget=new_budget, has_last=new_has,
-                               frame_idx=state.frame_idx + 1)
+                               frame_idx=state.frame_idx + 1,
+                               ring_bgr=ring_bgr)
     out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
-                     green_filtered=filt, box=boxes, face_valid=face_valid)
+                     green_filtered=filt, box=boxes, face_valid=face_valid,
+                     choice=choice)
     return new_state, out
 
 

@@ -58,7 +58,7 @@ from .models import skin_detector
 from .ops import reduce as vreduce
 from .ops import roi as vroi
 from .pipeline.live import (LiveConfig, LiveOutput, LiveState,
-                            MultiLiveState, _masked_welch_bpm, _sos,
+                            MultiLiveState, _method_bpm, _sos,
                             init_state, init_state_multi, pack_output,
                             unpack_output)
 
@@ -157,25 +157,25 @@ def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
     ring_filt = jnp.where(face_valid[:, None],
                           state.ring_filt.at[s_idx, ptr].set(filt),
                           state.ring_filt)
+    ring_bgr = jnp.where(face_valid[:, None, None],
+                         state.ring_bgr.at[s_idx, ptr].set(means),
+                         state.ring_bgr)
     count = state.count + face_valid.astype(jnp.int32)
     zi = jnp.where(face_valid[:, None, None], zi, state.zi)
 
-    n_valid = jnp.minimum(count, cfg.ring_len)
-    ordered = jax.vmap(lambda r, s: jnp.roll(r, -s))(
-        ring_filt, jnp.mod(count, cfg.ring_len))
-    bpm, bpm_valid = jax.vmap(
-        lambda o, n: _masked_welch_bpm(o, n, cfg.fps, cfg.band,
-                                       cfg.welch_segment_seconds))(
-        ordered, n_valid)
+    bpm, bpm_valid, choice = jax.vmap(
+        lambda rr, rb, rf, c: _method_bpm(cfg, rr, rb, rf, c))(
+        ring_raw, ring_bgr, ring_filt, count)
 
     new_state = LiveState(ring_raw=ring_raw, ring_filt=ring_filt,
                           count=count, zi=zi, last_box=new_last,
                           hold_budget=new_budget, has_last=new_has,
-                          frame_idx=state.frame_idx + active.astype(jnp.int32))
+                          frame_idx=state.frame_idx + active.astype(jnp.int32),
+                          ring_bgr=ring_bgr)
     out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
                      green_filtered=filt, box=new_last,
-                     face_valid=face_valid)
-    return new_state, pack_output(out)                         # (S, 9)
+                     face_valid=face_valid, choice=choice)
+    return new_state, pack_output(out)                         # (S, 10)
 
 
 def _step_multi_batched_impl(state: MultiLiveState, frames: jnp.ndarray,
@@ -243,24 +243,25 @@ def _step_multi_batched_impl(state: MultiLiveState, frames: jnp.ndarray,
     ring_filt = jnp.where(face_valid[..., None],
                           state.ring_filt.at[s_idx, k_idx, ptr].set(filt),
                           state.ring_filt)
+    ring_bgr = jnp.where(face_valid[..., None, None],
+                         state.ring_bgr.at[s_idx, k_idx, ptr].set(means),
+                         state.ring_bgr)
     count = state.count + face_valid.astype(jnp.int32)
     zi = jnp.where(face_valid[..., None, None], zi, state.zi)
 
-    n_valid = jnp.minimum(count, cfg.ring_len)
-    ordered = jax.vmap(jax.vmap(lambda r, s: jnp.roll(r, -s)))(
-        ring_filt, jnp.mod(count, cfg.ring_len))
-    bpm, bpm_valid = jax.vmap(jax.vmap(
-        lambda o, n: _masked_welch_bpm(o, n, cfg.fps, cfg.band,
-                                       cfg.welch_segment_seconds)))(
-        ordered, n_valid)
+    bpm, bpm_valid, choice = jax.vmap(jax.vmap(
+        lambda rr, rb, rf, c: _method_bpm(cfg, rr, rb, rf, c)))(
+        ring_raw, ring_bgr, ring_filt, count)
 
     new_state = MultiLiveState(
         ring_raw=ring_raw, ring_filt=ring_filt, count=count, zi=zi,
         last_box=new_last, hold_budget=new_budget, has_last=new_has,
-        frame_idx=state.frame_idx + active.astype(jnp.int32))
+        frame_idx=state.frame_idx + active.astype(jnp.int32),
+        ring_bgr=ring_bgr)
     out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
-                     green_filtered=filt, box=boxes, face_valid=face_valid)
-    return new_state, pack_output(out)                         # (S, K, 9)
+                     green_filtered=filt, box=boxes, face_valid=face_valid,
+                     choice=choice)
+    return new_state, pack_output(out)                         # (S, K, 10)
 
 
 _unpack = unpack_output
@@ -643,6 +644,14 @@ class _BpmTCPServer(socketserver.ThreadingTCPServer):
                            "bpm_valid": bool(o.bpm_valid),
                            "face_valid": bool(o.face_valid),
                            "box": [int(x) for x in np.asarray(o.box)]}
+                if self.pool.cfg.method == "adaptive":
+                    # Selection observability: which pulse construction
+                    # (index into cfg.adaptive_methods) won this tick.
+                    ms = self.pool.cfg.adaptive_methods
+                    ch = np.asarray(o.choice)
+                    msg["method"] = (
+                        [ms[int(k)] for k in ch.ravel()] if multi
+                        else ms[int(ch)])
                 line = json.dumps(msg) + "\n"
                 c.seq += 1
                 with c.wlock:

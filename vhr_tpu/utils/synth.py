@@ -41,6 +41,12 @@ class SynthSpec:
     hr_drift_bpm: float = 0.0           # linear BPM ramp over the clip
     seed: int = 0
     dropout_frames: Tuple[int, ...] = ()  # frames where the face disappears
+    # Multiplicative common-mode illumination flicker (whole image), an
+    # in-band confound for the raw green mean: brightness scales by
+    # 1 + amp*sin(2*pi*(flicker_bpm/60)*t).  The chrominance projections
+    # (dsp.projections) reject it by construction.
+    flicker_bpm: Optional[float] = None
+    flicker_amp: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +81,10 @@ def synthesize(spec: SynthSpec) -> SynthVideo:
     bg = np.array(spec.background_bgr, dtype=np.float32)
     skin = np.array(spec.skin_bgr, dtype=np.float32)
     dropout = set(spec.dropout_frames)
+    flick = np.ones(T)
+    if spec.flicker_bpm is not None:
+        flick += spec.flicker_amp * np.sin(
+            2.0 * np.pi * (spec.flicker_bpm / 60.0) * t)
 
     for i in range(T):
         img = np.broadcast_to(bg, (H, W, 3)).astype(np.float32).copy()
@@ -85,6 +95,7 @@ def synthesize(spec: SynthSpec) -> SynthVideo:
             img[mask] = color
             ys, xs = np.nonzero(mask)
             boxes[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
+        img *= flick[i]
         img += drift[i]
         if spec.noise_std > 0:
             img += rng.normal(0.0, spec.noise_std, size=img.shape)
