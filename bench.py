@@ -788,6 +788,112 @@ def bench_mediapipe() -> dict:
     }
 
 
+def bench_evm() -> dict:
+    """EVM magnification throughput (BASELINE config 3): XLA vs fused-
+    Pallas ``magnify`` (full uint8->magnified-uint8 reconstruction) and
+    ``magnified_pulse`` (the analysis signal) at 1080p, frames/sec/chip.
+
+    The reference only ever shipped a dead stub of this path
+    (``/root/reference/rppg_VIDEO.py:120-124``), so there is no CPU
+    baseline; ``vs_baseline`` is the Pallas/XLA speedup.  The relay's
+    fixed per-call dispatch cost (~47 ms, CLAUDE.md r3) is measured on an
+    empty jitted call and subtracted, so the per-frame numbers compare
+    fairly across a 6x cost range.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vhr_tpu.config import EVMConfig
+    from vhr_tpu.pipeline import evm as vevm
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        T, H, W = 64, 1080, 1920
+        REPS_MAG, REPS_PULSE = 32, 64
+    else:
+        T, H, W = 4, 36, 128
+        REPS_MAG = REPS_PULSE = 1
+
+    cfg = EVMConfig()
+    base, noise = _face_plate(H, W, seed=11)
+    frame = np.minimum(base.astype(np.uint16) + noise, 255).astype(np.uint8)
+    frames_j = jnp.asarray(np.broadcast_to(frame[None], (T, H, W, 3)).copy())
+    jax.block_until_ready(frames_j)
+
+    @jax.jit
+    def empty(seed):
+        return seed.astype(jnp.int32) + 1
+
+    def floor_call(seed):
+        int(empty(seed))
+    floor_call(jnp.uint8(0))
+    floor = _timed_median(floor_call)                # relay dispatch cost
+
+    def run(kind, use_pallas, reps):
+        @jax.jit
+        def loop(frames, seed):
+            def body(c, i):
+                fr = jax.lax.optimization_barrier(
+                    frames + jax.lax.rem(i + seed, jnp.uint8(4)))
+                if kind == "magnify":
+                    out = vevm.magnify(fr, fps=30.0, cfg=cfg,
+                                       use_pallas=use_pallas,
+                                       interpret=not on_tpu)
+                    # Consume a strided slice (forces materialization of
+                    # the full magnified clip without a full reduce).
+                    return c + jnp.sum(
+                        out[:, ::89, ::97, 1].astype(jnp.int32)), None
+                pulse = vevm.magnified_pulse(fr, 30.0, cfg.band,
+                                             levels=cfg.pyramid_levels,
+                                             use_pallas=use_pallas)
+                return c + jnp.sum(pulse).astype(jnp.int32), None
+            out, _ = jax.lax.scan(body, jnp.int32(0),
+                                  jnp.arange(reps, dtype=jnp.uint8))
+            return out
+
+        last = {}
+
+        def call(seed):
+            last["v"] = int(loop(frames_j, seed))
+        call(jnp.uint8(0))                           # compile + warm
+        dt = max(_timed_median(call) - floor, 1e-9)
+        return T * reps / dt, dt
+
+    fps_mag_xla, _ = run("magnify", False, REPS_MAG)
+    fps_pulse_xla, _ = run("pulse", False, REPS_PULSE)
+    if on_tpu:
+        fps_mag_pl, _ = run("magnify", True, REPS_MAG)
+        fps_pulse_pl, _ = run("pulse", True, REPS_PULSE)
+    else:
+        # magnified_pulse has no interpret plumb-through; Pallas variants
+        # are TPU-only (the magnify interpret path is tested in
+        # tests/test_pallas_evm.py).
+        fps_mag_pl, _ = run("magnify", True, REPS_MAG)
+        fps_pulse_pl = fps_pulse_xla
+
+    return {
+        "metric": "evm_magnify_fps",
+        "value": round(fps_mag_pl, 1),
+        "unit": "frames/sec/chip (1080p u8->u8 magnify, fused Pallas)",
+        "magnify_xla_fps": round(fps_mag_xla, 1),
+        "magnify_pallas_fps": round(fps_mag_pl, 1),
+        "pulse_xla_fps": round(fps_pulse_xla, 1),
+        "pulse_pallas_fps": round(fps_pulse_pl, 1),
+        "pallas_speedup_magnify": round(fps_mag_pl / fps_mag_xla, 2),
+        "pallas_speedup_pulse": round(fps_pulse_pl / fps_pulse_xla, 2),
+        "dispatch_floor_ms": round(floor * 1e3, 1),
+        "config": {"frames": T, "h": H, "w": W,
+                   "reps_magnify": REPS_MAG, "reps_pulse": REPS_PULSE,
+                   "levels": cfg.pyramid_levels,
+                   "note": ("per-rep input materialization inside the "
+                            "scan (flagship convention); relay dispatch "
+                            "floor measured on an empty jitted call and "
+                            "subtracted; reference EVM is a dead stub "
+                            "(rppg_VIDEO.py:120-124) so vs_baseline is "
+                            "pallas/xla")},
+    }
+
+
 def bench_serving() -> dict:
     """Serving pool (``vhr_tpu/serving.py``): one batched dispatch advances
     S live clients' slots per tick.  Measures per-tick device compute and
@@ -904,6 +1010,8 @@ CHECKS = {
     "serving_mp64_de8_agg_fps": (("serving", "detectors",
                                   "mediapipe_s64_de8", "aggregate_fps"),
                                  0.5, +1),
+    "evm_magnify_pallas_fps": (("evm", "magnify_pallas_fps"), 0.5, +1),
+    "evm_pulse_pallas_fps": (("evm", "pulse_pallas_fps"), 0.5, +1),
 }
 BASELINE_FILE = "BENCH_BASELINES.json"
 
@@ -913,7 +1021,8 @@ def _collect_check() -> dict:
             "live_latency": bench_live_latency(),
             "mediapipe": bench_mediapipe(),
             "multistream": bench_multistream(),
-            "serving": bench_serving()}
+            "serving": bench_serving(),
+            "evm": bench_evm()}
 
 
 def run_check(record: bool) -> int:
@@ -991,6 +1100,7 @@ def main() -> None:
                          ("kernels", bench_kernels),
                          ("mediapipe", bench_mediapipe),
                          ("serving", bench_serving),
+                         ("evm", bench_evm),
                          ("decode_e2e", bench_decode_e2e)):
             try:
                 detail[name] = fn()

@@ -321,3 +321,41 @@ def test_mediapipe_detector_drives_pipeline():
     corr = np.dot(centred, ref) / (np.linalg.norm(centred)
                                    * np.linalg.norm(ref) + 1e-9)
     assert corr > 0.9
+
+
+def test_bf16_activation_mode_agrees_with_f32():
+    """activation_dtype=bf16 stores every feature map in bf16 — halving
+    the activation HBM traffic that dominates these nets on TPU
+    (docs/PERFORMANCE.md roofline).  Landmarks must stay within ~1 px RMS
+    of f32; the face must still be found with confident presence."""
+    img = draw_face()
+    fr = jnp.asarray(img[None])
+    out = {}
+    for name, kw in (("f32", {}),
+                     ("bf16a", {"activation_dtype": jnp.bfloat16})):
+        params, da, la = mpf.load_face_models(TASK, **kw)
+        rects, scores, ok = mpf.detect_faces_mp(params, da, fr, k_faces=1)
+        lm, presence = mpf.face_landmarks(params, la, fr, rects)
+        assert bool(np.asarray(ok)[0, 0]), name
+        out[name] = (np.asarray(lm)[0, 0], float(np.asarray(presence)[0, 0]))
+    lm_rms = float(np.sqrt(np.mean((out["f32"][0] - out["bf16a"][0]) ** 2)))
+    assert lm_rms < 1.5, lm_rms
+    assert out["bf16a"][1] > 0.5
+
+
+def test_letterbox_matmul_matches_jax_image_resize():
+    """The separable interp-matrix letterbox (MXU form) must reproduce
+    jax.image.resize('bilinear') — including its antialiasing triangle
+    kernel on downscale — to matmul-reassociation tolerance."""
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 90, 160, 3), np.uint8))
+    size = 128
+    T, H, W, _ = frames.shape
+    scale, h2, w2, px, py = mpf._letterbox_geometry(H, W, size)
+    rgb = frames[..., ::-1].astype(jnp.float32)
+    small = jax.image.resize(rgb, (T, h2, w2, 3), "bilinear")
+    canvas = jnp.zeros((T, size, size, 3), jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(canvas, small, (0, py, px, 0))
+    ref = canvas * (2.0 / 255.0) - 1.0
+    got = mpf._letterbox(frames, size, -1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

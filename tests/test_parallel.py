@@ -214,3 +214,37 @@ def test_multistream_degradation_sweep_on_device(devices):
         assert valid[i, W:].all(), f"stream {i} lost validity"
         err = np.abs(bpm[i, W:] - 75.0)
         assert err.mean() <= 8.0, f"sigma={float(sigmas[i])}: {err.mean()}"
+
+
+def test_sharded_holdover_matches_sequential(devices):
+    """Time-sharded detection holdover (two local scans + one carry
+    all_gather, parallel/long.py) is EXACTLY the sequential
+    ops.roi.holdover scan — across shard-boundary dropouts, cadence
+    'attempted' gaps, and a no-detection-in-shard chain."""
+    from vhr_tpu.ops import roi as vroi
+    from vhr_tpu.parallel.long import sharded_holdover
+
+    m = vmesh.make_mesh(("time",), devices=devices)
+    rng = np.random.default_rng(0)
+    T = 8 * 25
+    cases = []
+    for drop in (0.2, 0.5):
+        cases.append((rng.random(T) > drop, np.ones(T, bool)))
+        cases.append((rng.random(T) > drop, rng.random(T) > 0.3))
+    v_single = np.zeros(T, bool)
+    v_single[137] = True                      # carry chains across 4 shards
+    cases.append((v_single, np.ones(T, bool)))
+    for valid, att in cases:
+        valid = np.asarray(valid) & np.asarray(att)   # failed == attempted
+        box = rng.integers(0, 100, (T, 4)).astype(np.int32)
+        ref = vroi.holdover(jnp.asarray(box), jnp.asarray(valid), 15,
+                            attempted=jnp.asarray(att))
+        sh = NamedSharding(m, P("time"))
+        got = sharded_holdover(
+            jax.device_put(jnp.asarray(box), sh),
+            jax.device_put(jnp.asarray(valid), sh), m, 15,
+            attempted=jax.device_put(jnp.asarray(att), sh))
+        np.testing.assert_array_equal(np.asarray(got.box),
+                                      np.asarray(ref.box))
+        np.testing.assert_array_equal(np.asarray(got.valid),
+                                      np.asarray(ref.valid))

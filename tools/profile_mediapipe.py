@@ -65,17 +65,28 @@ def perturb(x, i, scale=4):
     return jax.lax.optimization_barrier(x + d)
 
 
-# --- stage inputs (precomputed, fixed) ---
-lb = mp._letterbox(frames, mp._DET_SIZE, -1.0, 1.0)          # (T,128,128,3)
-rects, scores, ok = mp.detect_faces_mp(params, det_apply, frames, 1)
-rects0 = rects._replace(rot=jnp.zeros_like(rects.rot))
-crops = mp._crop_faces(frames, rects0, mp._LM_SIZE, mode="axis")
-flat_crops = crops.reshape(T, 256, 256, 3)
+# --- stage inputs (precomputed lazily per requested stage group) ---
+def _want(*keys):
+    return not _ONLY or any(k.lower() in lbl.lower() or lbl.lower() in k.lower()
+                            for k in _ONLY for lbl in keys)
+
+lb = rects0 = flat_crops = reg = cls = lm_out = None
 anchors = jnp.asarray(mp.blazeface_anchors())
-reg, cls = jax.vmap(lambda xi: det_apply(params.det, xi[None]))(lb)
-boxes_d, scores_d, kps_d = mp._decode_detections(reg[:, 0], cls[:, 0], anchors)
-lm_out = jax.vmap(lambda xi: lm_apply(params.lm, xi[None]))(flat_crops)
-jax.block_until_ready((lb, crops, reg, lm_out))
+if _want("letterbox", "conv net", "nms", "e2e", "end-to-end", "det net",
+         "mesh net"):
+    lb = mp._letterbox(frames, mp._DET_SIZE, -1.0, 1.0)      # (T,128,128,3)
+if _want("crop", "mesh", "nms", "proj"):
+    rects, scores, ok = mp.detect_faces_mp(params, det_apply, frames, 1)
+    rects0 = rects._replace(rot=jnp.zeros_like(rects.rot))
+if _want("mesh", "proj"):
+    crops = mp._crop_faces(frames, rects0, mp._LM_SIZE, mode="axis")
+    flat_crops = crops.reshape(T, 256, 256, 3)
+if _want("nms"):
+    reg, cls = det_apply(params.det, lb)
+if _want("proj"):
+    lm_out = lm_apply(params.lm, flat_crops)
+jax.block_until_ready([a for a in (lb, flat_crops, reg, lm_out)
+                       if a is not None])
 
 print(f"\n=== stage decomposition, T={T}, {H}x{W} ===")
 
@@ -97,7 +108,7 @@ timed(st_letterbox, 128, "letterbox 720p->128", T)
 def st_detnet(c, i):
     x = perturb(lb, i)
     reg, cls = jax.vmap(lambda xi: det_apply(params.det, xi[None]))(x)
-    return c + jnp.sum(reg[:, 0, 0, 0]).astype(jnp.int32)
+    return c + jnp.sum(reg[:, 0, 0]).astype(jnp.int32)
 timed(st_detnet, 256, "BlazeFace conv net f32", T)
 
 def st_detnet_bf(c, i):
@@ -116,7 +127,7 @@ timed(st_detnet_flat, 256, "BlazeFace conv net f32 FLAT", T)
 # 3. decode + NMS + rect
 def st_nms(c, i):
     r = perturb(reg, i)
-    b, s, kp = mp._decode_detections(r[:, 0], cls[:, 0], anchors)
+    b, s, kp = mp._decode_detections(r, cls, anchors)
     bb, ss, kk, okk = jax.vmap(
         functools.partial(mp._weighted_nms, k_faces=1))(b, s, kp)
     rr = mp._detection_to_rect(bb, kk, H, W)
@@ -158,3 +169,25 @@ def st_proj(c, i):
     bb = mp._landmarks_to_bbox(px[:, 0], H, W)
     return c + jnp.sum(bb).astype(jnp.int32)
 timed(st_proj, 512, "project+bbox glue", T)
+
+# --- round-4 variants -------------------------------------------------------
+params_ba, det_apply_ba, lm_apply_ba = mp.load_face_models(
+    activation_dtype=jnp.bfloat16)
+
+def e2e_bf16act(c, i):
+    fr = perturb(frames, i)
+    boxes, valid = mp._detect_single(params_ba, det_apply_ba, lm_apply_ba, fr)
+    return c + jnp.sum(boxes) + jnp.sum(valid)
+timed(e2e_bf16act, 48, "E2E r4 bf16-activations", T)
+
+def st_lmnet_ba(c, i):
+    x = perturb(flat_crops, i)
+    out = lm_apply_ba(params_ba.lm, x)
+    return c + jnp.sum(out[0][0]).astype(jnp.int32)
+timed(st_lmnet_ba, 96, "mesh net bf16-act FLAT", T)
+
+def st_detnet_ba(c, i):
+    x = perturb(lb, i)
+    reg, cls = det_apply_ba(params_ba.det, x)
+    return c + jnp.sum(reg[0, 0]).astype(jnp.int32)
+timed(st_detnet_ba, 256, "det net bf16-act FLAT", T)

@@ -95,25 +95,33 @@ class MediaPipeFaceParams(NamedTuple):
 _CACHE = {}
 
 
-def load_face_models(task_path: Optional[str] = None, compute_dtype=None):
+def load_face_models(task_path: Optional[str] = None, compute_dtype=None,
+                     activation_dtype=None):
     """Parse the .task zip once -> (params pytree, det apply, lm apply).
 
     ``compute_dtype=jnp.bfloat16`` runs both conv nets' MXU work in bf16
-    (f32 accumulate; see :func:`vhr_tpu.models.tflite_exec.build_jax`) —
-    ~2x conv throughput for <2 bits of stored-fp16 precision.
+    (f32 accumulate; see :func:`vhr_tpu.models.tflite_exec.build_jax`).
+    ``activation_dtype=jnp.bfloat16`` additionally stores the feature
+    maps in bf16 — these nets are HBM-bound on activations (the mesh
+    graph moves ~90 MB of f32 feature maps per frame), so THIS is the
+    mode that moves throughput (docs/PERFORMANCE.md roofline table);
+    landmark RMS delta vs f32 is pinned in tests/test_mediapipe_face.py.
     """
     task_path = task_path or default_task_path()
-    key = (task_path, np.dtype(compute_dtype).name if compute_dtype else None)
+    key = (task_path,
+           np.dtype(compute_dtype).name if compute_dtype else None,
+           np.dtype(activation_dtype).name if activation_dtype else None)
     if key in _CACHE:
         return _CACHE[key]
     from .tflite import load_task_models
     from .tflite_exec import build_jax
     models = load_task_models(task_path)
     det_params, det_apply = build_jax(models["face_detector.tflite"].graph,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      activation_dtype=activation_dtype)
     lm_params, lm_apply = build_jax(
         models["face_landmarks_detector.tflite"].graph,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, activation_dtype=activation_dtype)
     params = MediaPipeFaceParams(det=det_params, lm=lm_params)
     _CACHE[key] = (params, det_apply, lm_apply)
     return _CACHE[key]
@@ -129,12 +137,50 @@ def _letterbox_geometry(H: int, W: int, size: int):
     return scale, h2, w2, pad_x, pad_y
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_src: int, n_dst: int) -> np.ndarray:
+    """(n_dst, n_src) matrix equal to ``jax.image.resize('bilinear')``
+    along one axis, INCLUDING its antialiasing triangle kernel on
+    downscale.  resize is linear per axis, so the matrix is just resize
+    applied to the identity — here written out in pure numpy (a mirror of
+    ``jax._src.image.scale.compute_weight_mat`` with translation=0,
+    antialias=True, triangle kernel) so the cache fill stays host-side
+    even when the first call happens inside a jit/shard_map trace
+    (omnistaging would stage a ``jax.image.resize`` call and the
+    ``np.asarray`` would see a tracer).  Pinned equal to
+    ``jax.image.resize`` in tests/test_mediapipe_face.py."""
+    scale = n_dst / n_src
+    kernel_scale = max(1.0 / scale, 1.0)                 # antialias dilation
+    sample_f = (np.arange(n_dst) + 0.5) / scale - 0.5
+    x = np.abs(sample_f[None, :] - np.arange(n_src)[:, None]) / kernel_scale
+    w = np.maximum(0.0, 1.0 - x)                         # triangle kernel
+    total = w.sum(axis=0, keepdims=True)
+    w = np.where(np.abs(total) > 1000.0 * np.finfo(np.float32).eps,
+                 w / np.where(total != 0, total, 1), 0.0)
+    w = np.where(((sample_f >= -0.5) & (sample_f <= n_src - 0.5))[None, :],
+                 w, 0.0)
+    return np.asarray(w, np.float32).T
+
+
 def _letterbox(frames_bgr_u8: jnp.ndarray, size: int, lo: float, hi: float):
-    """(T, H, W, 3) BGR u8 -> (T, size, size, 3) RGB in [lo, hi]."""
+    """(T, H, W, 3) BGR u8 -> (T, size, size, 3) RGB in [lo, hi].
+
+    The resize runs as two separable interp-matrix MXU products straight
+    off the u8 input (the ``_crop_axis_mxu`` trick): ``jax.image.resize``
+    on a pre-materialized f32 frame costs a full-resolution f32
+    round-trip through HBM (~22 us/frame at 720p, the profiled r3
+    letterbox); the matmul form reads the 2.7 MB u8 frame once and its
+    intermediates are already width-128 (measured ~7x,
+    docs/PERFORMANCE.md).  Values match ``jax.image.resize('bilinear')``
+    (antialiased) to matmul-reassociation tolerance
+    (tests/test_mediapipe_face.py)."""
     T, H, W, _ = frames_bgr_u8.shape
     scale, h2, w2, pad_x, pad_y = _letterbox_geometry(H, W, size)
+    ax = jnp.asarray(_resize_matrix(W, w2))              # (w2, W)
+    ay = jnp.asarray(_resize_matrix(H, h2))              # (h2, H)
     rgb = frames_bgr_u8[..., ::-1].astype(jnp.float32)
-    small = jax.image.resize(rgb, (T, h2, w2, 3), "bilinear")
+    tmp = jnp.einsum("thwc,mw->thmc", rgb, ax)           # x-pass (T,H,w2,3)
+    small = jnp.einsum("nh,thmc->tnmc", ay, tmp)         # y-pass (T,h2,w2,3)
     canvas = jnp.zeros((T, size, size, 3), jnp.float32)
     canvas = jax.lax.dynamic_update_slice(canvas, small, (0, pad_y, pad_x, 0))
     return canvas * ((hi - lo) / 255.0) + lo
@@ -385,9 +431,12 @@ def detect_faces_mp(params: MediaPipeFaceParams, det_apply, frames,
     (rects, scores (T, K), ok (T, K)) — rotated square ROIs in image px."""
     T, H, W, _ = frames.shape
     x = _letterbox(frames, _DET_SIZE, -1.0, 1.0)
-    reg, cls = jax.vmap(lambda xi: det_apply(params.det, xi[None]))(x)
+    # One flat (T, ...) batch through the conv net — build_jax reshapes
+    # are batch-agnostic, and the flat form measured ~30% faster than a
+    # vmapped batch-1 apply on-chip (tools/profile_mediapipe.py).
+    reg, cls = det_apply(params.det, x)                  # (T,896,16),(T,896,1)
     anchors = jnp.asarray(blazeface_anchors())
-    boxes, scores, kps = _decode_detections(reg[:, 0], cls[:, 0], anchors)
+    boxes, scores, kps = _decode_detections(reg, cls, anchors)
     b, s, kp, ok = jax.vmap(
         functools.partial(_weighted_nms, k_faces=k_faces))(boxes, scores, kps)
     rects = _detection_to_rect(b, kp, H, W)              # fields (T, K)
@@ -453,7 +502,7 @@ def face_landmarks(params: MediaPipeFaceParams, lm_apply, frames, rects,
     crops = _crop_faces(frames, rects, _LM_SIZE,
                         mode=crop_mode)                  # (T, K, 256, 256, 3)
     flat = crops.reshape(T * K, _LM_SIZE, _LM_SIZE, 3)
-    out = jax.vmap(lambda xi: lm_apply(params.lm, xi[None]))(flat)
+    out = lm_apply(params.lm, flat)                      # flat batch (no vmap)
     lm = out[0].reshape(T, K, 478, 3)
     presence = jax.nn.sigmoid(out[1].reshape(T, K))
     flat_rects = jax.tree.map(lambda a: a.reshape(T, K), rects)

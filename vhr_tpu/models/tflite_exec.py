@@ -72,7 +72,8 @@ def _activation(name):
     raise NotImplementedError(f"fused activation {name}")
 
 
-def build_jax(graph: Subgraph, compute_dtype=None):
+def build_jax(graph: Subgraph, compute_dtype=None,
+              activation_dtype=None):
     """Compile the graph description to ``(params, apply)``.
 
     ``params`` maps tensor-index strings to constant arrays (a flat pytree —
@@ -84,17 +85,34 @@ def build_jax(graph: Subgraph, compute_dtype=None):
     MXU (f32 accumulate via ``preferred_element_type``) — the weights ship
     as fp16 constants in the flatbuffer, so bf16's 8-bit mantissa costs only
     ~2 bits of stored precision while doubling MXU throughput.  Biases,
-    PRELU and LOGISTIC stay f32; outputs are always f32.
+    PRELU and LOGISTIC stay f32; outputs are always f32.  Activations
+    between ops stay f32, so HBM traffic is unchanged — measured, these
+    nets are HBM-bound on activations (the face-mesh graph moves ~90 MB
+    of f32 feature maps per frame, docs/PERFORMANCE.md), which is why
+    this mode alone buys only ~2%.
+
+    ``activation_dtype=jnp.bfloat16`` additionally STORES every feature
+    map in bf16 (convs emit bf16; elementwise ops run in bf16) — halving
+    activation HBM traffic, the dominant cost.  MXU accumulation is still
+    f32 internally; only inter-op storage rounds.  LOGISTIC and the graph
+    outputs are computed/returned in f32.  Precision on the real face
+    graphs: <=0.35 px landmark RMS vs the f32 path
+    (tests/test_mediapipe_face.py).
     """
     import jax.numpy as jnp
     from jax import lax
 
     graph = fold_dequantize(graph)
-    cd = compute_dtype
-    acc = dict(preferred_element_type=jnp.float32) if cd is not None else {}
+    ad = activation_dtype
+    cd = compute_dtype if ad is None else ad
+    acc = (dict(preferred_element_type=jnp.float32)
+           if (cd is not None and ad is None) else {})
 
     def _cd(t):
         return t.astype(cd) if cd is not None else t
+
+    def _ad(t):
+        return t.astype(ad) if ad is not None else t
 
     # Constants that ops actually read become params; PAD paddings and
     # RESHAPE shapes stay Python-side (they must be static).
@@ -114,7 +132,7 @@ def build_jax(graph: Subgraph, compute_dtype=None):
     tensors = graph.tensors
 
     def apply(params, x):
-        env: Dict[int, jnp.ndarray] = {in_idx: x}
+        env: Dict[int, jnp.ndarray] = {in_idx: _ad(x)}
 
         def get(i):
             if i in env:
@@ -132,7 +150,7 @@ def build_jax(graph: Subgraph, compute_dtype=None):
                     padding=op.options["padding"],
                     rhs_dilation=op.options["dilation"],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"), **acc)
-                y = _activation(op.options["activation"])(y + bias)
+                y = _activation(op.options["activation"])(y + _ad(bias))
             elif op.op == "DEPTHWISE_CONV_2D":
                 inp, filt, bias = (get(i) for i in op.inputs)
                 ch_in = inp.shape[-1]
@@ -147,23 +165,24 @@ def build_jax(graph: Subgraph, compute_dtype=None):
                     rhs_dilation=op.options["dilation"],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     feature_group_count=ch_in, **acc)
-                y = _activation(op.options["activation"])(y + bias)
+                y = _activation(op.options["activation"])(y + _ad(bias))
             elif op.op == "ADD":
                 y = _activation(op.options.get("activation"))(
-                    get(op.inputs[0]) + get(op.inputs[1]))
+                    get(op.inputs[0]) + _ad(get(op.inputs[1])))
             elif op.op == "RELU":
                 y = jnp.maximum(get(op.inputs[0]), 0.0)
             elif op.op == "PRELU":
                 xin = get(op.inputs[0])
-                alpha = get(op.inputs[1])
+                alpha = _ad(get(op.inputs[1]))
                 y = jnp.where(xin >= 0, xin, xin * alpha)
             elif op.op == "PAD":
                 pads = tensors[op.inputs[1]].data
                 y = jnp.pad(get(op.inputs[0]),
                             [tuple(p) for p in np.asarray(pads)])
             elif op.op == "MAX_POOL_2D":
+                xin = get(op.inputs[0])
                 y = lax.reduce_window(
-                    get(op.inputs[0]), -jnp.inf, lax.max,
+                    xin, jnp.asarray(-jnp.inf, xin.dtype), lax.max,
                     (1,) + tuple(op.options["filter"]) + (1,),
                     (1,) + tuple(op.options["stride"]) + (1,),
                     op.options["padding"])
@@ -189,11 +208,12 @@ def build_jax(graph: Subgraph, compute_dtype=None):
                                     axis=op.options["axis"])
                 y = _activation(op.options["activation"])(y)
             elif op.op == "LOGISTIC":
-                y = 1.0 / (1.0 + jnp.exp(-get(op.inputs[0])))
+                x32 = get(op.inputs[0]).astype(jnp.float32)
+                y = 1.0 / (1.0 + jnp.exp(-x32))
             else:                      # unreachable post-fold
                 raise NotImplementedError(op.op)
             env[o] = y
-        return tuple(env[i] for i in out_idx)
+        return tuple(env[i].astype(jnp.float32) for i in out_idx)
 
     return params, apply
 

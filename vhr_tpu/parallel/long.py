@@ -23,7 +23,7 @@ from ..config import HRBand
 from ..dsp import spectral
 from ..ops import windows as vwin
 
-__all__ = ["sharded_steady_bpm"]
+__all__ = ["sharded_steady_bpm", "sharded_holdover"]
 
 
 def sharded_steady_bpm(signal: jnp.ndarray, fps: float, band: HRBand,
@@ -59,3 +59,97 @@ def sharded_steady_bpm(signal: jnp.ndarray, fps: float, band: HRBand,
     return shard_map(body, mesh=mesh, in_specs=(P(axis_name),),
                      out_specs=(P(axis_name), P(axis_name)),
                      check_vma=False)(signal)
+
+
+def sharded_holdover(box: jnp.ndarray, valid: jnp.ndarray, mesh: Mesh,
+                     hold_frames: int = 15, axis_name: str = "time",
+                     attempted: jnp.ndarray = None):
+    """Detection holdover over a TIME-SHARDED recording — exactly equal to
+    the sequential :func:`vhr_tpu.ops.roi.holdover` scan.
+
+    The holdover carry (last box, failure budget, has-last: 6 int32s) is a
+    sequential dependency, but any successful detection RESETS it — so a
+    shard's transfer function is summarizable without its input carry:
+
+    * pass 1 (local, parallel): each shard computes ``(any_valid,
+      last_valid_box, failures_after_last_valid, failures_total)``.
+    * compose: one ``all_gather`` of the 4-field summaries (the only
+      collective); every shard folds the prefix of summaries before it —
+      a static ``n_shards``-step loop on 6 int32s — to recover its true
+      input carry.  A shard with a detection maps ANY input carry to
+      ``(last_box, max(hold - f_after, 0), True)``; a shard without one
+      passes the carry through with its budget drained by ``f_total``
+      (clamped at 0, matching the scan's stop-at-zero rule).
+    * pass 2 (local, parallel): re-run the exact per-frame scan from the
+      recovered carry.
+
+    Two local scans + one tiny ICI all_gather instead of a cross-chip
+    sequential chain.  Reference rule: ``analysis/utils/roi.py:91-101``;
+    the per-frame semantics (including the cadence ``attempted`` rule)
+    are :func:`ops.roi.holdover`'s, pinned equal in tests/test_parallel.py.
+
+    Args: ``box (T, 4)`` int32, ``valid (T,)`` bool, optionally
+    ``attempted (T,)`` bool — all sharded over ``axis_name`` on axis 0.
+    Returns a :class:`vhr_tpu.ops.roi.BoxTrack` sharded likewise.
+    """
+    from ..ops import roi as vroi
+
+    n_shards = mesh.shape[axis_name]
+    if attempted is None:
+        attempted = jnp.ones(valid.shape, bool)
+
+    def body(bl, vl, al):
+        # --- pass 1: local summary ---
+        t_local = vl.shape[0]
+        any_v = jnp.any(vl)
+        last_idx = jnp.argmax(
+            jnp.where(vl, jnp.arange(t_local), -1))          # 0 if none
+        box_last = bl[last_idx]
+        fails = jnp.logical_and(al, jnp.logical_not(vl))
+        v_after = (jnp.flip(jnp.cumsum(jnp.flip(vl.astype(jnp.int32))))
+                   - vl.astype(jnp.int32))                   # valids after t
+        f_after = jnp.sum(jnp.logical_and(fails, v_after == 0)
+                          .astype(jnp.int32))
+        f_total = jnp.sum(fails.astype(jnp.int32))
+
+        summary = (any_v.astype(jnp.int32), box_last, f_after, f_total)
+        gathered = jax.lax.all_gather(summary, axis_name)    # (n_shards, ...)
+        g_any, g_box, g_fa, g_ft = gathered
+
+        # --- compose input carries for every shard (static prefix fold) ---
+        def apply_summary(c, k):
+            last, budget, has = c
+            a = g_any[k] > 0
+            reset_budget = jnp.maximum(hold_frames - g_fa[k], 0)
+            thru_budget = jnp.where(has,
+                                    jnp.maximum(budget - g_ft[k], 0), budget)
+            return (jnp.where(a, g_box[k], last),
+                    jnp.where(a, reset_budget, thru_budget),
+                    jnp.logical_or(a, has))
+
+        carries_last = [jnp.zeros((4,), jnp.int32)]
+        carries_budget = [jnp.int32(0)]
+        carries_has = [jnp.asarray(False)]
+        c = (carries_last[0], carries_budget[0], carries_has[0])
+        for k in range(n_shards - 1):
+            c = apply_summary(c, k)
+            carries_last.append(c[0])
+            carries_budget.append(c[1])
+            carries_has.append(c[2])
+        idx = jax.lax.axis_index(axis_name)
+        my_carry = (jnp.stack(carries_last)[idx],
+                    jnp.stack(carries_budget)[idx],
+                    jnp.stack(carries_has)[idx])
+
+        # --- pass 2: exact local scan from the recovered carry ---
+        track, _ = vroi.holdover_with_carry(bl, vl, hold_frames,
+                                            carry=my_carry, attempted=al)
+        return track.box, track.valid
+
+    boxes, valids = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False)(box, valid, attempted)
+    from ..ops.roi import BoxTrack
+    return BoxTrack(box=boxes, valid=valids)
