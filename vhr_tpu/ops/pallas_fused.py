@@ -31,7 +31,7 @@ from ..config import ROIConfig
 from ..models.skin_detector import SkinDetectorConfig
 
 __all__ = ["fused_detect_roi_pallas", "fused_detect_roi_carry",
-           "init_carry", "FusedResult"]
+           "fused_detect_roi_slots", "init_carry", "FusedResult"]
 
 # HBM->VMEM staging: DMA_DEPTH copies stay in flight (issue chunk g+DEPTH
 # while processing chunk g) across N_SLOTS rotating buffers.  N_SLOTS must
@@ -53,7 +53,8 @@ def _kernel(in_hbm, t0_ref, phase_ref, state_in, means_ref, box_ref,
             state, *, rb: int, h: int, w: int, wc: int, n_chunks: int,
             det: SkinDetectorConfig, roi: ROIConfig, min_area: float,
             detect_every: int, gate_margin: Optional[float],
-            rescan_every: int, row_pool: int, seq_len: Optional[int]):
+            rescan_every: int, row_pool: int, seq_len: Optional[int],
+            per_slot: bool = False):
     t = pl.program_id(0)
     t0 = t0_ref[0]     # launch's offset into the (possibly longer) clip —
     # long clips run as several launches over ONE HBM array (no per-chunk
@@ -61,7 +62,14 @@ def _kernel(in_hbm, t0_ref, phase_ref, state_in, means_ref, box_ref,
     # phase = this frame's GLOBAL index for detect_every / rescan_every /
     # seq_len cadence; usually == t0, but a T=1 live launch passes its frame
     # counter here while indexing the single-frame HBM array at t0=0.
-    phase = phase_ref[0] + t
+    # ``per_slot`` repurposes the time axis as S INDEPENDENT serving slots:
+    # each grid step is one slot's single frame — the tracking state is
+    # seeded from state_in[t] (not carried between grid steps), written
+    # back to state_out[t], and the cadence phase is that slot's own frame
+    # counter phase_ref[t].  The cross-"frame" DMA pipeline is unchanged
+    # (chunks of successive slots prefetch exactly like chunks of
+    # successive frames).
+    phase = (phase_ref[t] if per_slot else phase_ref[0] + t)
     do_detect = jax.lax.rem(phase, jnp.int32(detect_every)) == 0
     n_total = pl.num_programs(0) * n_chunks   # global chunk count (static)
 
@@ -86,9 +94,14 @@ def _kernel(in_hbm, t0_ref, phase_ref, state_in, means_ref, box_ref,
     def _():
         for d in range(min(DMA_DEPTH, n_total)):
             dma_for(jnp.int32(d)).start()
-        for j in range(6):
-            state[j] = state_in[j]
+        if not per_slot:
+            for j in range(6):
+                state[j] = state_in[j]
         colacc[0, :] = jnp.zeros_like(colacc[0, :])  # scratch is uninit
+    if per_slot:
+        # Slots are independent: every grid step re-seeds from its own row.
+        for j in range(6):
+            state[j] = state_in[t, j]
 
     # Tracked box from previous frames decides this frame's ROI (cheek
     # sub-rectangle of the carried face box).  With ``seq_len`` set, the
@@ -290,8 +303,12 @@ def _kernel(in_hbm, t0_ref, phase_ref, state_in, means_ref, box_ref,
     box_ref[t, 3] = ny2
     flags_ref[t, 0] = jnp.logical_or(det_ok, tracked).astype(jnp.int32)
     flags_ref[t, 1] = roi_ok.astype(jnp.int32)
-    for j in range(6):           # final value = carry for the next chunk
-        state_out[j] = state[j]
+    if per_slot:
+        for j in range(6):       # each slot returns its own carry row
+            state_out[t, j] = state[j]
+    else:
+        for j in range(6):       # final value = carry for the next chunk
+            state_out[j] = state[j]
 
 
 def fused_detect_roi_carry(frames: jnp.ndarray,
@@ -398,6 +415,96 @@ def fused_detect_roi_carry(frames: jnp.ndarray,
 def init_carry() -> jnp.ndarray:
     """Fresh tracking state for :func:`fused_detect_roi_carry`."""
     return jnp.zeros((6,), jnp.int32)
+
+
+def fused_detect_roi_slots(frames: jnp.ndarray,
+                           carry: jnp.ndarray,
+                           phase: jnp.ndarray,
+                           det: SkinDetectorConfig = SkinDetectorConfig(),
+                           roi: ROIConfig = ROIConfig(),
+                           row_block: int = 128,
+                           detect_every: int = 1,
+                           gate_margin: Optional[float] = None,
+                           rescan_every: int = 30,
+                           detect_row_pool: int = 1,
+                           interpret: bool = False
+                           ) -> Tuple[FusedResult, jnp.ndarray]:
+    """Slot-batched fused kernel: S INDEPENDENT live streams, one frame
+    each, in ONE launch — the serving-pool tick (``vhr_tpu.serving``).
+
+    Unlike :func:`fused_detect_roi_carry` (one stream, carry chained
+    through the sequential grid), every grid step here is a different
+    slot: tracking state is seeded per-row from ``carry (S, 6) int32``
+    and written back per-row, and the detection cadence runs on each
+    slot's OWN frame counter ``phase (S,) int32`` (clients attach at
+    different times, so their cadences are not aligned).  A zeroed carry
+    row is a fresh slot (``has_last = 0``), so the pool's attach-reset is
+    just zeroing the row.  DMA prefetch crosses slot boundaries exactly
+    as it crosses frame boundaries in the clip kernel — the per-tick HBM
+    traffic is ONE streaming read of the (S, H, W, 3) batch, versus the
+    XLA pool tick's detector pass + ROI-mean pass (>=2 reads;
+    docs/PERFORMANCE.md).  Per-slot semantics are pinned equal to the
+    single-stream fused live step in tests/test_serving.py.
+
+    Args: ``frames (S, H, W, 3)`` or pre-flattened ``(S, H, W*3)`` u8;
+    ``carry (S, 6)``; ``phase (S,)``.  Returns (:class:`FusedResult` with
+    leading ``(S,)``, ``carry_out (S, 6)``).
+    """
+    if frames.ndim == 3:
+        S, H, WC = frames.shape
+        assert WC % 3 == 0
+        W = WC // 3
+    else:
+        S, H, W, C = frames.shape
+        assert C == 3
+    wc = W * 3
+    if H % 8 != 0 or wc % 128 != 0:
+        raise ValueError("fused kernel needs H % 8 == 0 and W*3 % 128 == 0")
+    rb = max(8, min(row_block, H) // 8 * 8)
+    n_chunks = -(-H // rb)
+    min_area = det.min_area_fraction * H * W
+    if detect_row_pool not in (1, 2, 4, 8):
+        raise ValueError("detect_row_pool must be 1, 2, 4 or 8")
+
+    kernel = functools.partial(_kernel, rb=rb, h=H, w=W, wc=wc,
+                               n_chunks=n_chunks, det=det, roi=roi,
+                               min_area=min_area, detect_every=detect_every,
+                               gate_margin=gate_margin,
+                               rescan_every=rescan_every,
+                               row_pool=detect_row_pool, seq_len=None,
+                               per_slot=True)
+
+    flat = frames if frames.ndim == 3 else frames.reshape(S, H, wc)
+    t0 = jnp.zeros((1,), jnp.int32)
+    means, boxes, flags, carry_out = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((S, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((S, 4), jnp.int32),
+                   jax.ShapeDtypeStruct((S, 2), jnp.int32),
+                   jax.ShapeDtypeStruct((S, 6), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((N_SLOTS, rb, wc), jnp.uint8),
+            pltpu.VMEM((8, wc), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_SLOTS,)),
+            pltpu.SMEM((6,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat, t0, phase.astype(jnp.int32).reshape(S),
+      carry.astype(jnp.int32))
+
+    res = FusedResult(means=means[:, :3], count=means[:, 3],
+                      boxes=boxes, det_valid=flags[:, 0] > 0,
+                      roi_valid=flags[:, 1] > 0)
+    return res, carry_out
 
 
 def fused_detect_roi_pallas(frames: jnp.ndarray,

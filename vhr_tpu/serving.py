@@ -77,6 +77,48 @@ def init_state_batched(cfg: LiveConfig, n_slots: int,
         lambda x: jnp.zeros((n_slots,) + x.shape, x.dtype), one)
 
 
+def _finish_batched(state: LiveState, cfg: LiveConfig, sos, S: int,
+                    active: jnp.ndarray, means: jnp.ndarray,
+                    green: jnp.ndarray, face_valid: jnp.ndarray,
+                    new_last: jnp.ndarray, new_budget: jnp.ndarray,
+                    new_has: jnp.ndarray
+                    ) -> Tuple[LiveState, jnp.ndarray]:
+    """Common tail of the batched tick (both the XLA-detector and the
+    fused-kernel paths): per-slot streaming SOS push, masked ring/Welch
+    writes, method BPM, and state/output assembly.  ``face_valid`` must
+    already be masked by ``active`` (inactive slots advance nothing)."""
+    filt, zi = jax.vmap(
+        lambda z, g: filters.sos_stream_push(sos, z, g))(state.zi, green)
+
+    ptr = jnp.mod(state.count, cfg.ring_len)                   # (S,)
+    s_idx = jnp.arange(S)
+    ring_raw = jnp.where(face_valid[:, None],
+                         state.ring_raw.at[s_idx, ptr].set(green),
+                         state.ring_raw)
+    ring_filt = jnp.where(face_valid[:, None],
+                          state.ring_filt.at[s_idx, ptr].set(filt),
+                          state.ring_filt)
+    ring_bgr = jnp.where(face_valid[:, None, None],
+                         state.ring_bgr.at[s_idx, ptr].set(means),
+                         state.ring_bgr)
+    count = state.count + face_valid.astype(jnp.int32)
+    zi = jnp.where(face_valid[:, None, None], zi, state.zi)
+
+    bpm, bpm_valid, choice = jax.vmap(
+        lambda rr, rb, rf, c: _method_bpm(cfg, rr, rb, rf, c))(
+        ring_raw, ring_bgr, ring_filt, count)
+
+    new_state = LiveState(ring_raw=ring_raw, ring_filt=ring_filt,
+                          count=count, zi=zi, last_box=new_last,
+                          hold_budget=new_budget, has_last=new_has,
+                          frame_idx=state.frame_idx + active.astype(jnp.int32),
+                          ring_bgr=ring_bgr)
+    out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
+                     green_filtered=filt, box=new_last,
+                     face_valid=face_valid, choice=choice)
+    return new_state, pack_output(out)                         # (S, 10)
+
+
 def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
                        active: jnp.ndarray, reset: jnp.ndarray,
                        pool_phase: jnp.ndarray, det_args,
@@ -106,6 +148,40 @@ def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
     state = jax.tree.map(
         lambda x: jnp.where(reset.reshape((S,) + (1,) * (x.ndim - 1)),
                             jnp.zeros_like(x), x), state)
+
+    if cfg.use_fused:
+        # Slot-batched fused kernel: detection + cheek-ROI means in ONE
+        # streaming HBM read of the whole (S, H, W, 3) batch — versus the
+        # XLA tick's detector pass + ROI-mean pass.  The tracking carry IS
+        # the LiveState holdover fields (a reset slot's zeroed row is a
+        # fresh carry), the cadence phase is each slot's own frame counter
+        # (slots attach at different times), and the ROI comes from the box
+        # tracked on PREVIOUS frames (one-frame lag — the same semantics as
+        # the single-stream fused live step, pinned equal per slot in
+        # tests/test_serving.py).
+        from .ops.pallas_fused import fused_detect_roi_slots
+
+        carry = jnp.concatenate(
+            [state.last_box.astype(jnp.int32),
+             state.hold_budget.astype(jnp.int32)[:, None],
+             state.has_last.astype(jnp.int32)[:, None]], axis=1)   # (S, 6)
+        res, carry_out = fused_detect_roi_slots(
+            frames, carry, phase=state.frame_idx, roi=cfg.roi,
+            detect_every=cfg.detect_every,
+            detect_row_pool=cfg.detect_row_pool,
+            gate_margin=cfg.gate_margin,
+            interpret=jax.default_backend() != "tpu")
+        # Inactive slots hold ALL state — the kernel still scanned their
+        # (stale) frame, so restore their carry and mask their outputs.
+        carry_out = jnp.where(active[:, None], carry_out, carry)
+        means = res.means                                          # (S, 3)
+        green = means[:, 1]
+        face_valid = jnp.logical_and(res.roi_valid, active)
+        new_last = carry_out[:, 0:4]
+        new_budget = carry_out[:, 4]
+        new_has = carry_out[:, 5] > 0
+        return _finish_batched(state, cfg, sos, S, active, means, green,
+                               face_valid, new_last, new_budget, new_has)
 
     def run_det(fr):
         if det_fn is None:
@@ -145,37 +221,8 @@ def _step_batched_impl(state: LiveState, frames: jnp.ndarray,
     rois = jnp.where(face_valid[:, None], rois, 0)
     means, _ = vreduce.roi_channel_means(frames, rois)         # (S, 3)
     green = means[:, 1]
-
-    filt, zi = jax.vmap(
-        lambda z, g: filters.sos_stream_push(sos, z, g))(state.zi, green)
-
-    ptr = jnp.mod(state.count, cfg.ring_len)                   # (S,)
-    s_idx = jnp.arange(S)
-    ring_raw = jnp.where(face_valid[:, None],
-                         state.ring_raw.at[s_idx, ptr].set(green),
-                         state.ring_raw)
-    ring_filt = jnp.where(face_valid[:, None],
-                          state.ring_filt.at[s_idx, ptr].set(filt),
-                          state.ring_filt)
-    ring_bgr = jnp.where(face_valid[:, None, None],
-                         state.ring_bgr.at[s_idx, ptr].set(means),
-                         state.ring_bgr)
-    count = state.count + face_valid.astype(jnp.int32)
-    zi = jnp.where(face_valid[:, None, None], zi, state.zi)
-
-    bpm, bpm_valid, choice = jax.vmap(
-        lambda rr, rb, rf, c: _method_bpm(cfg, rr, rb, rf, c))(
-        ring_raw, ring_bgr, ring_filt, count)
-
-    new_state = LiveState(ring_raw=ring_raw, ring_filt=ring_filt,
-                          count=count, zi=zi, last_box=new_last,
-                          hold_budget=new_budget, has_last=new_has,
-                          frame_idx=state.frame_idx + active.astype(jnp.int32),
-                          ring_bgr=ring_bgr)
-    out = LiveOutput(bpm=bpm, bpm_valid=bpm_valid, green_raw=green,
-                     green_filtered=filt, box=new_last,
-                     face_valid=face_valid, choice=choice)
-    return new_state, pack_output(out)                         # (S, 10)
+    return _finish_batched(state, cfg, sos, S, active, means, green,
+                           face_valid, new_last, new_budget, new_has)
 
 
 def _step_multi_batched_impl(state: MultiLiveState, frames: jnp.ndarray,
@@ -298,9 +345,17 @@ class BpmServer:
         axis per slot and ``detector`` must follow the multi-face contract
         (``frames -> (boxes (S, K, 4), valid (S, K))``)."""
         if cfg.use_fused:
-            raise ValueError("the serving pool runs the batched detector "
-                             "path; use_fused is single-stream "
-                             "(pipeline.live.step)")
+            # Slot-batched fused path (ops.pallas_fused.fused_detect_roi_
+            # slots): same constraints as the single-stream fused live step.
+            if detector is not None:
+                raise ValueError("use_fused runs the in-kernel skin "
+                                 "detector; pass detector=None")
+            if cfg.roi_site != "cheek":
+                raise ValueError("the fused kernel bakes cheek ROI geometry;"
+                                 " roi_site='forehead' needs use_fused=False")
+            if k_faces != 1:
+                raise ValueError("use_fused is single-face per slot; "
+                                 "k_faces>1 needs use_fused=False")
         if transfer not in ("bgr", "i420"):
             raise ValueError(f"transfer must be 'bgr' or 'i420', "
                              f"got {transfer!r}")
