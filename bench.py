@@ -324,7 +324,16 @@ def bench_live_latency() -> dict:
         "budget_ms": LIVE_BUDGET_MS,
         "within_budget": per_frame_ms <= LIVE_BUDGET_MS,
         "within_budget_incl_rtt": p50_pipelined <= LIVE_BUDGET_MS,
-        "within_budget_hostframe": (
+        # Honesty split (VERDICT r3 #8): the micro-batch row is AMORTIZED
+        # ms/frame — a frame can wait up to (M-1) frame periods for its
+        # batch to fill, so it does not bound per-frame latency.  The
+        # per-frame host-origin p50 is the single-frame i420+ds4 row; on
+        # this relay it is tunnel-dominated (device compute is ~1 ms — a
+        # real PCIe host clears the budget trivially).
+        "within_budget_hostframe_p50": (
+            host_rows["p50_pipelined_hostframe_i420_ds4"]
+            <= LIVE_BUDGET_MS),
+        "within_budget_hostframe_amortized": (
             host_rows["ms_per_frame_hostframe_i420_ds4_mbatch4"]
             <= LIVE_BUDGET_MS),
         "config": {"h": H, "w": W, "steps": K, "ring_len": cfg.ring_len,
@@ -927,15 +936,22 @@ def bench_serving() -> dict:
         # cond-skip the WHOLE batched detector on off-phase ticks (uniform
         # pool predicate); the 64-slot row amortizes the conv fixed cost
         # (sub-batches under ~64 frames pay it — CLAUDE.md perf lessons).
-        modes = [("skin_s16", None, 16, 512, 1),
-                 ("mediapipe_s16", mp_det, 16, 256, 1),
-                 ("mediapipe_s16_de8", mp_det, 16, 256, 8),
-                 ("mediapipe_s64", mp_det, 64, 96, 1),
-                 ("mediapipe_s64_de8", mp_det, 64, 96, 8)]
+        modes = [("skin_s16", None, 16, 512, 1, False),
+                 ("fused_s16", None, 16, 512, 1, True),
+                 ("fused_s64", None, 64, 192, 1, True),
+                 ("mediapipe_s16", mp_det, 16, 256, 1, False),
+                 ("mediapipe_s16_de8", mp_det, 16, 256, 8, False),
+                 ("mediapipe_s64", mp_det, 64, 96, 1, False),
+                 ("mediapipe_s64_de8", mp_det, 64, 96, 8, False)]
     else:
-        modes = [("skin_s16", None, 3, 4, 1)]
-    for name, detector, S, T, de in modes:
-        cfg = live.LiveConfig(fps=30.0, detect_every=de)
+        modes = [("skin_s16", None, 3, 4, 1, False)]
+    for name, detector, S, T, de, fused in modes:
+        # fused rows: the slot-batched single-pass Pallas kernel
+        # (ops.pallas_fused.fused_detect_roi_slots) — detection + cheek-ROI
+        # means in ONE streaming HBM read of the (S, H, W, 3) batch, vs the
+        # XLA tick's detector pass + ROI-mean pass.
+        cfg = live.LiveConfig(fps=30.0, detect_every=de, use_fused=fused,
+                              detect_row_pool=8 if fused else 1)
         det_fn, det_args = ((None, ()) if detector is None
                             else _split_detector(detector))
         active = jnp.ones((S,), bool)
@@ -1007,6 +1023,8 @@ CHECKS = {
     "mediapipe_farm_fps": (("multistream", "mediapipe_farm_aggregate_fps"),
                            0.5, +1),
     "serving_tick_ms": (("serving", "value"), 0.5, -1),
+    "serving_fused_tick_ms": (("serving", "detectors", "fused_s16",
+                               "tick_ms"), 0.5, -1),
     "serving_mp64_de8_agg_fps": (("serving", "detectors",
                                   "mediapipe_s64_de8", "aggregate_fps"),
                                  0.5, +1),

@@ -14,6 +14,7 @@ so the analysis harness and metrics are drop-in compatible.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -933,12 +934,33 @@ def extract_signals_streaming(video_path: str,
     if reader is not None:
         fps = reader.fps
         with reader:
-            for chunk in reader:
+            t_wait = t_dev = 0.0
+            it = iter(reader)
+            while True:
+                t0 = time.perf_counter()
+                chunk = next(it, None)           # blocks on the decode ring
+                t_wait += time.perf_counter() - t0
+                if chunk is None:
+                    break
+                t0 = time.perf_counter()
                 m, v, carry = chunk_step(prep(chunk), det_args, carry)
-                bgr_parts.append(np.asarray(m))
+                bgr_parts.append(np.asarray(m))  # fetch = device sync
                 valid_parts.append(np.asarray(v))
+                t_dev += time.perf_counter() - t0
             if ring_stats is not None:
                 ring_stats.update(reader.stats())
+                # Sizing verdict (VERDICT r3 #7): which side is the
+                # bottleneck on THIS host/chip pair.  wait = host blocked on
+                # the decode ring; device = dispatch + fetch (includes the
+                # host->device link).  The counter form (consumer_blocked vs
+                # producer_blocked) tells the same story ring-side.
+                ring_stats["host_wait_on_decode_s"] = round(t_wait, 3)
+                ring_stats["device_dispatch_fetch_s"] = round(t_dev, 3)
+                total = t_wait + t_dev
+                ring_stats["verdict"] = (
+                    "decode-bound" if t_wait > t_dev else "device-bound")
+                ring_stats["decode_wait_fraction"] = (
+                    round(t_wait / total, 3) if total > 0 else 0.0)
     else:
         fps = None
         for chunk, f, _ in vio.iter_video_chunks(video_path, chunk_frames):
