@@ -250,3 +250,109 @@ def test_mediapipe_pose_robust_roi(photo):
     d_naive = np.linalg.norm(n1 - expect)
     assert d_robust < d_naive, (d_robust, d_naive)
     assert d_robust < 10.0, d_robust
+
+
+# --- r4: real-pixel stressor matrix + live/served paths (VERDICT #5) -------
+
+
+def test_real_face_scale_ramp(mp_detector):
+    """Face-size robustness on real pixels: the production detector must
+    hold IoU >= 0.85 from a 128px-tall photo (scale 0.25 of the 512x600
+    portrait) up to full size."""
+    for scale in (0.25, 0.4, 0.6, 1.0):
+        clip = realface.synthesize_real_face_clip(
+            bpm=72.0, fps=10.0, duration_s=0.2, scale=scale, motion_px=0.0)
+        boxes, valid = mp_detector(jnp.asarray(clip.frames[:1]))
+        assert bool(np.asarray(valid)[0]), f"no face at scale {scale}"
+        iou = _iou(np.asarray(boxes)[0], clip.face_boxes[0])
+        assert iou >= 0.85, f"scale {scale}: IoU {iou:.3f}"
+
+
+def test_real_face_occlusion_holdover_and_recovery(mp_detector):
+    """An 80%-of-face occluder (measured: detection fails outright on real
+    pixels) must be bridged by landmark holdover and recovered from cleanly
+    — the reference's own failure story is holdover then reacquire
+    (analysis/utils/roi.py:91-101)."""
+    from vhr_tpu.pipeline import offline
+    clip = realface.synthesize_real_face_clip(
+        bpm=72.0, fps=10.0, duration_s=4.0, scale=0.5,
+        occlude_frac=0.8, occlude_span=(0.3, 0.55))
+    T = clip.frames.shape[0]
+    o0, o1 = int(0.3 * T), int(0.55 * T)          # 10 occluded frames
+    trace = offline.extract_signals(jnp.asarray(clip.frames),
+                                    detector=mp_detector)
+    valid = np.asarray(trace.valid).astype(bool)
+    boxes = np.asarray(trace.boxes)
+    assert valid[:o0].all()                        # clean before
+    # Occlusion <= landmark_hold_frames (15): holdover bridges ALL of it.
+    assert valid[o0:o1].all()
+    ious_hold = _iou(boxes[o0:o1], clip.face_boxes[o0:o1])
+    assert ious_hold.min() >= 0.8                  # held box still tracks
+    assert valid[o1:].all()                        # reacquired
+    ious_after = _iou(boxes[o1 + 1:], clip.face_boxes[o1 + 1:])
+    assert ious_after.min() >= 0.9
+
+
+@pytest.mark.slow
+def test_real_face_flicker_motion_adaptive(mp_detector):
+    """Lighting flicker + head motion COMBINED on real pixels: the adaptive
+    selector must route away from the flicker-captured green mean and
+    recover the true pulse (the offline flicker scenario of
+    tests/test_adaptive.py, on the real portrait)."""
+    from vhr_tpu.pipeline import offline
+    clip = realface.synthesize_real_face_clip(
+        bpm=72.0, fps=10.0, duration_s=16.0, scale=0.5,
+        motion_px=2.0, flicker_bpm=120.0, flicker_amp=0.10,
+        pulse_amplitude=3.0)
+    cfg = offline.PipelineConfig(window_seconds=8.0, acquisition_seconds=4.0)
+    res = offline.measure_adaptive(
+        jnp.asarray(clip.frames), clip.fps, cfg=cfg, detector=mp_detector)
+    bpm = np.asarray(res.bpm)
+    valid = np.asarray(res.valid).astype(bool)
+    assert valid.sum() >= 40
+    tail = np.median(bpm[valid][-10:])
+    assert abs(tail - 72.0) <= 6.0, f"tail {tail} (flicker captured?)"
+
+
+def test_real_face_live_path_recovers_bpm(mp_detector):
+    """The LIVE streaming path (not just offline) over the real-portrait
+    clip: per-frame live.step with the production detector at cadence 5,
+    holdover between detections."""
+    import jax
+    from vhr_tpu.pipeline import live
+    clip = realface.synthesize_real_face_clip(
+        bpm=84.0, fps=10.0, duration_s=14.0, scale=0.5)
+    cfg = live.LiveConfig(fps=clip.fps, ring_len=100, detect_every=5)
+    st = live.init_state(cfg)
+    step = live.make_step(cfg, detector=mp_detector, donate=False)
+    outs = []
+    for f in clip.frames:
+        st, o = step(st, jnp.asarray(f))
+        outs.append(o)
+    assert all(bool(o.face_valid) for o in outs[1:])
+    assert bool(outs[-1].bpm_valid)
+    assert abs(float(outs[-1].bpm) - 84.0) <= 6.0
+
+
+def test_real_face_served_client_recovers_bpm(mp_detector):
+    """A served TCP client streaming the real-portrait clip through the
+    pool (production detector): end-to-end BPM out of the socket."""
+    from vhr_tpu import serving
+    from vhr_tpu.pipeline import live
+    clip = realface.synthesize_real_face_clip(
+        bpm=84.0, fps=10.0, duration_s=14.0, scale=0.5)
+    cfg = live.LiveConfig(fps=clip.fps, ring_len=100, detect_every=5)
+    pool = serving.BpmServer(cfg, n_slots=2, detector=mp_detector,
+                             donate=False)
+    srv = serving.serve_forever("127.0.0.1", 0, pool,
+                                frame_shape=clip.frames[0].shape[:2])
+    port = srv.server_address[1]
+    c = serving.BpmClient("127.0.0.1", port)
+    for f in clip.frames:
+        c.send(f)
+    outs = [c.recv() for _ in clip.frames]
+    c.close()
+    srv.shutdown()
+    last = outs[-1]
+    assert last["bpm_valid"] and last["face_valid"]
+    assert abs(last["bpm"] - 84.0) <= 6.0

@@ -122,6 +122,12 @@ def load_face_models(task_path: Optional[str] = None, compute_dtype=None,
     lm_params, lm_apply = build_jax(
         models["face_landmarks_detector.tflite"].graph,
         compute_dtype=compute_dtype, activation_dtype=activation_dtype)
+    # In the bf16-activation mode, letterbox/crops interchange in bf16 too
+    # (the net stores bf16 feature maps anyway; the full-res input casts
+    # are the pre-net stages' dominant HBM term — detect_faces_mp /
+    # face_landmarks read this tag).
+    det_apply.io_dtype = activation_dtype
+    lm_apply.io_dtype = activation_dtype
     params = MediaPipeFaceParams(det=det_params, lm=lm_params)
     _CACHE[key] = (params, det_apply, lm_apply)
     return _CACHE[key]
@@ -162,8 +168,17 @@ def _resize_matrix(n_src: int, n_dst: int) -> np.ndarray:
     return np.asarray(w, np.float32).T
 
 
-def _letterbox(frames_bgr_u8: jnp.ndarray, size: int, lo: float, hi: float):
+def _letterbox(frames_bgr_u8: jnp.ndarray, size: int, lo: float, hi: float,
+               dtype=jnp.float32):
     """(T, H, W, 3) BGR u8 -> (T, size, size, 3) RGB in [lo, hi].
+
+    ``dtype=jnp.bfloat16`` (the bf16-activation pipeline, r4) casts the
+    frame ONCE to bf16 instead of f32 before the interp products — the
+    full-resolution cast is a materialized HBM tensor (the dot can't read
+    u8), so halving it halves this stage's dominant traffic term
+    (profiled 16.0 us/frame f32 at 720p, tools/profile_mediapipe.py).
+    u8 values are exact in bf16; the interp weights round to 2^-9 — the
+    same ~1 LSB bound as the bf16 crop (docstring at _crop_axis_mxu).
 
     The resize runs as two separable interp-matrix MXU products straight
     off the u8 input (the ``_crop_axis_mxu`` trick): ``jax.image.resize``
@@ -176,14 +191,15 @@ def _letterbox(frames_bgr_u8: jnp.ndarray, size: int, lo: float, hi: float):
     (tests/test_mediapipe_face.py)."""
     T, H, W, _ = frames_bgr_u8.shape
     scale, h2, w2, pad_x, pad_y = _letterbox_geometry(H, W, size)
-    ax = jnp.asarray(_resize_matrix(W, w2))              # (w2, W)
-    ay = jnp.asarray(_resize_matrix(H, h2))              # (h2, H)
-    rgb = frames_bgr_u8[..., ::-1].astype(jnp.float32)
+    ax = jnp.asarray(_resize_matrix(W, w2), dtype)       # (w2, W)
+    ay = jnp.asarray(_resize_matrix(H, h2), dtype)       # (h2, H)
+    rgb = frames_bgr_u8[..., ::-1].astype(dtype)
     tmp = jnp.einsum("thwc,mw->thmc", rgb, ax)           # x-pass (T,H,w2,3)
     small = jnp.einsum("nh,thmc->tnmc", ay, tmp)         # y-pass (T,h2,w2,3)
-    canvas = jnp.zeros((T, size, size, 3), jnp.float32)
+    canvas = jnp.zeros((T, size, size, 3), dtype)
     canvas = jax.lax.dynamic_update_slice(canvas, small, (0, pad_y, pad_x, 0))
-    return canvas * ((hi - lo) / 255.0) + lo
+    return canvas * jnp.asarray((hi - lo) / 255.0, dtype) + jnp.asarray(
+        lo, dtype)
 
 
 def _decode_detections(reg: jnp.ndarray, cls: jnp.ndarray,
@@ -383,9 +399,15 @@ def _interp_matrix(coords: jnp.ndarray, n_src: int) -> jnp.ndarray:
             + f[:, None] * (src == x1i[:, None]))
 
 
-def _crop_axis_mxu(frame_bgr_u8: jnp.ndarray, rect: _Rect, size: int):
+def _crop_axis_mxu(frame_bgr_u8: jnp.ndarray, rect: _Rect, size: int,
+                   dtype=jnp.float32):
     """Axis-aligned bilinear crop as two MXU matmuls (rect.rot ignored) ->
-    (size, size, 3) RGB [0, 1].
+    (size, size, 3) RGB [0, 1] in ``dtype``.
+
+    ``dtype=jnp.bfloat16`` (r4): the full-frame cast feeding the x-pass is
+    this stage's dominant HBM term (profiled 25.1 us/frame f32 at 720p);
+    bf16 halves it AND feeds the bf16-activation mesh net its input dtype
+    directly (no second cast).
 
     The rotated-crop gather costs ~13 ns per output position on TPU no
     matter how it is formulated (measured: sorted/flat/small-source/wide
@@ -405,12 +427,12 @@ def _crop_axis_mxu(frame_bgr_u8: jnp.ndarray, rect: _Rect, size: int):
     """
     H, W, _ = frame_bgr_u8.shape
     u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size - 0.5
-    gx = _interp_matrix(rect.cx + u * rect.side, W)      # (size, W)
-    gy = _interp_matrix(rect.cy + u * rect.side, H)      # (size, H)
-    img = frame_bgr_u8[..., ::-1].astype(jnp.float32)
+    gx = _interp_matrix(rect.cx + u * rect.side, W).astype(dtype)  # (size,W)
+    gy = _interp_matrix(rect.cy + u * rect.side, H).astype(dtype)  # (size,H)
+    img = frame_bgr_u8[..., ::-1].astype(dtype)
     tmp = jnp.einsum("hwc,mw->hmc", img, gx)             # x-pass (H, size, 3)
     out = jnp.einsum("nh,hmc->nmc", gy, tmp)             # y-pass
-    return out / 255.0
+    return out / jnp.asarray(255.0, dtype)
 
 
 def _project_landmarks(lm_crop: jnp.ndarray, rect: _Rect) -> jnp.ndarray:
@@ -430,7 +452,10 @@ def detect_faces_mp(params: MediaPipeFaceParams, det_apply, frames,
     """BlazeFace over a frame batch: (T, H, W, 3) BGR u8 ->
     (rects, scores (T, K), ok (T, K)) — rotated square ROIs in image px."""
     T, H, W, _ = frames.shape
-    x = _letterbox(frames, _DET_SIZE, -1.0, 1.0)
+    # bf16 interchange when the net stores bf16 activations anyway
+    # (load_face_models tags the apply): halves the full-res cast traffic.
+    io = getattr(det_apply, "io_dtype", None) or jnp.float32
+    x = _letterbox(frames, _DET_SIZE, -1.0, 1.0, dtype=io)
     # One flat (T, ...) batch through the conv net — build_jax reshapes
     # are batch-agnostic, and the flat form measured ~30% faster than a
     # vmapped batch-1 apply on-chip (tools/profile_mediapipe.py).
@@ -448,7 +473,7 @@ _CROP_BLOCK = 16      # frames per packed-tap block: bounds the (blk, H-1,
 
 
 def _crop_faces(frames: jnp.ndarray, rects: _Rect, size: int,
-                mode: str = "exact"):
+                mode: str = "exact", dtype=jnp.float32):
     """(T, H, W, 3) BGR u8 + rects with (T, K) fields -> (T, K, size,
     size, 3) RGB [0, 1] crops, blocking over T to bound intermediate
     memory.  ``mode="exact"``: rotated bilinear sampling via the packed
@@ -464,7 +489,7 @@ def _crop_faces(frames: jnp.ndarray, rects: _Rect, size: int,
         if mode == "axis":
             def crop_one(frame, rect_k):
                 return jax.vmap(lambda r: _crop_axis_mxu(
-                    frame, r, size))(rect_k)
+                    frame, r, size, dtype=dtype))(rect_k)
         else:
             def crop_one(frame, rect_k):
                 packed = _pack_taps(frame[..., ::-1].astype(jnp.float32))
@@ -499,8 +524,9 @@ def face_landmarks(params: MediaPipeFaceParams, lm_apply, frames, rects,
         rects = rects._replace(rot=jnp.zeros_like(rects.rot))
     T = frames.shape[0]
     K = rects.cx.shape[-1]
-    crops = _crop_faces(frames, rects, _LM_SIZE,
-                        mode=crop_mode)                  # (T, K, 256, 256, 3)
+    io = getattr(lm_apply, "io_dtype", None) or jnp.float32
+    crops = _crop_faces(frames, rects, _LM_SIZE, mode=crop_mode,
+                        dtype=io)                        # (T, K, 256, 256, 3)
     flat = crops.reshape(T * K, _LM_SIZE, _LM_SIZE, 3)
     out = lm_apply(params.lm, flat)                      # flat batch (no vmap)
     lm = out[0].reshape(T, K, 478, 3)
@@ -630,7 +656,7 @@ def _detect_single_poly(params: MediaPipeFaceParams, det_apply, lm_apply,
 
 def make_mediapipe_poly_detector(task_path: Optional[str] = None,
                                  compute_dtype=None, crop_mode: str = "axis",
-                                 poly_idx=None):
+                                 poly_idx=None, activation_dtype="default"):
     """Mesh-polygon variant of :func:`make_mediapipe_detector`:
     ``frames -> (boxes (T, 4), verts (T, E, 2) float32, valid (T,))`` —
     the ``pipeline.offline.extract_signals_polygon`` interface.  ``verts``
@@ -642,7 +668,10 @@ def make_mediapipe_poly_detector(task_path: Optional[str] = None,
     from ..ops.polyroi import CHEEK_POLY_IDX
 
     poly_idx = tuple(poly_idx) if poly_idx is not None else CHEEK_POLY_IDX
-    params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
+    if activation_dtype == "default":
+        activation_dtype = jnp.bfloat16        # see make_mediapipe_detector
+    params, det_apply, lm_apply = load_face_models(
+        task_path, compute_dtype, activation_dtype=activation_dtype)
     fn = functools.partial(_detect_single_poly, det_apply=det_apply,
                            lm_apply=lm_apply, poly_idx=poly_idx,
                            crop_mode=crop_mode)
@@ -652,7 +681,7 @@ def make_mediapipe_poly_detector(task_path: Optional[str] = None,
 
 def make_mediapipe_roi_detector(task_path: Optional[str] = None,
                                 compute_dtype=None, crop_mode: str = "axis",
-                                roi_cfg=None):
+                                roi_cfg=None, activation_dtype="default"):
     """Pose-robust ROI variant of :func:`make_mediapipe_detector`:
     ``frames -> (boxes (T, 4), rois (T, 4), valid (T,))`` — the
     ``pipeline.offline.extract_signals_landmark_roi`` interface, with the
@@ -663,7 +692,10 @@ def make_mediapipe_roi_detector(task_path: Optional[str] = None,
     roi_cfg = roi_cfg or ROIConfig()
     ratios = (float(roi_cfg.cheek_horizontal), float(roi_cfg.cheek_top),
               float(roi_cfg.cheek_bottom))
-    params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
+    if activation_dtype == "default":
+        activation_dtype = jnp.bfloat16        # see make_mediapipe_detector
+    params, det_apply, lm_apply = load_face_models(
+        task_path, compute_dtype, activation_dtype=activation_dtype)
     fn = functools.partial(_detect_single_roi, det_apply=det_apply,
                            lm_apply=lm_apply, roi_ratios=ratios,
                            crop_mode=crop_mode)
@@ -672,15 +704,28 @@ def make_mediapipe_roi_detector(task_path: Optional[str] = None,
 
 
 def make_mediapipe_detector(task_path: Optional[str] = None,
-                            compute_dtype=None, crop_mode: str = "axis"):
+                            compute_dtype=None, crop_mode: str = "axis",
+                            activation_dtype="default"):
     """The production-weight face detector as a pipeline detector:
     ``frames (T, H, W, 3) u8 -> (boxes (T, 4), valid (T,))`` — drops into
     ``pipeline.offline.extract_signals(detector=...)`` / ``live.step``
     exactly like the learned-landmarker detector.  Boxes are landmark
     min/max, the reference's definition (analysis/utils/roi.py:43-51).
     ``crop_mode``: "axis" (MXU separable crop, ~4x faster pipeline) or
-    "exact" (MediaPipe's rotated bilinear sampling)."""
-    params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
+    "exact" (MediaPipe's rotated bilinear sampling).
+
+    The product default is the **bf16-activation** pipeline (r4): the
+    reference's own runtime executes these weights as fp16 TFLite
+    kernels, so bf16 storage is precision-comparable to the system being
+    reproduced — and it is ~1.9x faster end-to-end (these nets are
+    HBM-bound on activations; docs/PERFORMANCE.md roofline).  Landmark
+    RMS vs the f32 path is pinned <=0.35 px
+    (tests/test_mediapipe_face.py); pass ``activation_dtype=None`` for
+    the full-f32 path."""
+    if activation_dtype == "default":
+        activation_dtype = jnp.bfloat16
+    params, det_apply, lm_apply = load_face_models(
+        task_path, compute_dtype, activation_dtype=activation_dtype)
     fn = functools.partial(_detect_single, det_apply=det_apply,
                            lm_apply=lm_apply, crop_mode=crop_mode)
     return jax.tree_util.Partial(
@@ -689,10 +734,14 @@ def make_mediapipe_detector(task_path: Optional[str] = None,
 
 def make_mediapipe_detector_multi(task_path: Optional[str] = None,
                                   k_faces: int = 2, compute_dtype=None,
-                                  crop_mode: str = "axis"):
+                                  crop_mode: str = "axis",
+                                  activation_dtype="default"):
     """Multi-face variant: ``frames -> (boxes (T, K, 4), valid (T, K))``,
     x-sorted identity — the ``extract_signals_multi`` detector interface."""
-    params, det_apply, lm_apply = load_face_models(task_path, compute_dtype)
+    if activation_dtype == "default":
+        activation_dtype = jnp.bfloat16        # see make_mediapipe_detector
+    params, det_apply, lm_apply = load_face_models(
+        task_path, compute_dtype, activation_dtype=activation_dtype)
     fn = functools.partial(_detect_multi, det_apply=det_apply,
                            lm_apply=lm_apply, k_faces=k_faces,
                            crop_mode=crop_mode)

@@ -88,6 +88,10 @@ def synthesize_real_face_clip(
         motion_hz: float = 0.3,
         noise_std: float = 1.0,
         scale: float = 1.0,
+        flicker_bpm: Optional[float] = None,
+        flicker_amp: float = 0.0,
+        occlude_frac: float = 0.0,
+        occlude_span: Tuple[float, float] = (0.4, 0.7),
         seed: int = 0) -> RealFaceClip:
     """Animate the real portrait with a known cardiac pulse.
 
@@ -99,6 +103,17 @@ def synthesize_real_face_clip(
     (``/root/reference/analysis/measurement/green_avg.py:26-44``).
     Rigid sinusoidal translation (``motion_px``) emulates head
     micro-motion; ``face_boxes`` tracks it per frame.
+
+    Real-pixel stressors (r4, VERDICT #5):
+
+    - ``flicker_bpm``/``flicker_amp``: multiplicative common-mode
+      illumination flicker over the WHOLE image,
+      ``1 + amp*sin(2*pi*(flicker_bpm/60)*t)`` — the same model as
+      ``utils/synth.py`` so the adaptive-method tests transfer.
+    - ``occlude_frac``: during the ``occlude_span`` fraction of the clip,
+      a gray patch covers that fraction of the face box's height from the
+      top (hand/hair-over-forehead style) — exercises detector holdover
+      and recovery on real pixels.
 
     Raises ``RuntimeError`` when no real-photo asset is available.
     """
@@ -128,6 +143,12 @@ def synthesize_real_face_clip(
     dx = motion_px * np.sin(2.0 * np.pi * motion_hz * t)
     dy = 0.5 * motion_px * np.sin(2.0 * np.pi * motion_hz * t + 1.1)
 
+    flick = np.ones(T, np.float64)
+    if flicker_bpm is not None:
+        flick += flicker_amp * np.sin(2.0 * np.pi * (flicker_bpm / 60.0) * t)
+    occ0, occ1 = (int(round(occlude_span[0] * T)),
+                  int(round(occlude_span[1] * T)))
+
     rng = np.random.default_rng(seed)
     base = img.astype(np.float32)
     frames = np.empty((T, H, W, 3), np.uint8)
@@ -135,9 +156,17 @@ def synthesize_real_face_clip(
     for i in range(T):
         f = base.copy()
         f[..., 1] += pulse[i] * mask
+        f *= flick[i]
         m = np.float32([[1, 0, dx[i]], [0, 1, dy[i]]])
         f = cv2.warpAffine(f, m, (W, H), flags=cv2.INTER_LINEAR,
                            borderMode=cv2.BORDER_REPLICATE)
+        if occlude_frac > 0.0 and occ0 <= i < occ1:
+            # Flat gray patch over the top `occlude_frac` of the face box
+            # (post-warp, as a real occluder sits between camera and face).
+            x1, y1 = int(box[0] + dx[i]), int(box[1] + dy[i])
+            x2 = int(box[2] + dx[i])
+            y2 = y1 + int(round(occlude_frac * (box[3] - box[1])))
+            f[max(0, y1):max(0, y2), max(0, x1):max(0, x2)] = 96.0
         if noise_std > 0.0:
             f += rng.normal(0.0, noise_std, f.shape).astype(np.float32)
         frames[i] = np.clip(f, 0.0, 255.0).astype(np.uint8)
