@@ -36,6 +36,28 @@ def test_rppg_video_app(clip_file):
     assert frames.shape[0] == clip_file["clip"].frames.shape[0]
 
 
+def test_rppg_video_app_live_panels(clip_file):
+    """--live-panels: the reference's in-loop three-panel display
+    (rppg_VIDEO.py:305-328) — panel data batched in ONE device call
+    (apps.rppg_video.live_panel_data), headless runs snapshot the final
+    panel state.  The panel BPM readouts must agree with the injected
+    rate to the in-band Welch bin."""
+    import numpy as np
+    from vhr_tpu.apps import rppg_video
+    out_dir = clip_file["root"] / "panels_out"
+    rc = rppg_video.main([str(clip_file["path"]), "--out-dir", str(out_dir),
+                          "--live-panels"])
+    assert rc == 0
+    assert (out_dir / "live_panels.png").exists()
+    res = rppg_video.analyze(str(clip_file["path"]))
+    panels = rppg_video.live_panel_data(res)
+    assert panels is not None
+    W0, freqs, pb, pc, bpm_b, bpm_c = panels
+    assert pb.shape == pc.shape == (len(res["green"]) - W0 + 1, len(freqs))
+    assert abs(float(np.median(bpm_b[-20:])) - 75.0) <= 8.0
+    assert abs(float(np.median(bpm_c[-20:])) - 75.0) <= 8.0
+
+
 def test_rppg_livestream_app_on_file(clip_file, capsys):
     from vhr_tpu.apps import rppg_livestream
     rc = rppg_livestream.main(["--video", str(clip_file["path"]),

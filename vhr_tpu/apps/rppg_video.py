@@ -205,7 +205,55 @@ def render_multi(results, out_dir: str) -> None:
     print(f"wrote {out_path} and signals_multi.png to {out_dir}")
 
 
-def render(results, out_dir: str, show: bool = False) -> None:
+def live_panel_data(results, window_seconds: float = 10.0):
+    """Per-frame trailing-window PSDs for the in-loop panels, computed in
+    ONE batched device call (the TPU-correct schedule for the reference's
+    per-frame display loop, ``rppg_VIDEO.py:305-328, 385-411``: it
+    re-filters + re-Welchs the trailing window on the host EVERY frame;
+    here all T windows batch into one program and the host only draws).
+
+    Returns ``(start, freqs, psd_butter (T', F), psd_cheby2 (T', F),
+    bpm_butter (T',), bpm_cheby2 (T',))`` where frame ``start + j`` of the
+    replay shows row ``j``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..dsp import design, filters, spectral
+    from ..ops.windows import sliding_windows
+
+    fps = float(results["fps"])
+    g = jnp.asarray(results["green"], jnp.float32)
+    W = int(round(window_seconds * fps))
+    T = g.shape[0]
+    if T <= W:
+        return None
+    lo, hi = BAND_VIDEO.low_hz, BAND_VIDEO.high_hz
+    sos_b = design.sos_design("butterworth", fps, lo, hi, order=2)
+    sos_c = design.sos_design("cheby2", fps, lo, hi, order=4)
+    nperseg = min(W, int(round(4.0 * fps)))
+
+    @jax.jit
+    def panels(g):
+        win = sliding_windows(g, W)                    # (T-W+1, W)
+        win = win - jnp.mean(win, axis=-1, keepdims=True)
+        fb = jax.vmap(lambda x: filters.sosfiltfilt(sos_b, x))(win)
+        fc = jax.vmap(lambda x: filters.sosfiltfilt(sos_c, x))(win)
+        _, pb = spectral.welch_psd(fb, fps, nperseg)
+        _, pc = spectral.welch_psd(fc, fps, nperseg)
+        return pb, pc
+
+    psd_b, psd_c = panels(g)
+    freqs = np.fft.rfftfreq(nperseg, 1.0 / fps)
+    pb, pc = np.asarray(psd_b), np.asarray(psd_c)
+    inband = (freqs >= lo) & (freqs <= hi)
+    bpm_b = 60.0 * freqs[inband][np.argmax(pb[:, inband], axis=1)]
+    bpm_c = 60.0 * freqs[inband][np.argmax(pc[:, inband], axis=1)]
+    return W, freqs, pb, pc, bpm_b, bpm_c
+
+
+def render(results, out_dir: str, show: bool = False,
+           live_panels: bool = False) -> None:
     import cv2
     os.makedirs(out_dir, exist_ok=True)
     frames = results["frames"]
@@ -250,15 +298,78 @@ def render(results, out_dir: str, show: bool = False) -> None:
     plt.close(fig)
     print(f"wrote {out_path} and signals.png to {out_dir}")
 
+    panels = live_panel_data(results) if live_panels else None
+    if panels is not None and not show:
+        # Headless: the reference's three in-loop panels (signal +
+        # butter-PSD + cheby2-PSD with BPM annotations) as a final frame
+        # snapshot — the panel content of the last replay frame.
+        W0, freqs, pb, pc, bpm_b, bpm_c = panels
+        fig, (axs, axb, axc) = plt.subplots(3, 1, figsize=(9, 10))
+        axs.plot(results["green"], color="green", lw=0.8)
+        axs.set_title("Heart Rate bpm")
+        axs.set_xlabel("frame")
+        axs.set_ylabel("signal value")
+        axs.text(0.95, 0.95, f"BPM Chebyshev II: {bpm_c[-1]:.2f}",
+                 transform=axs.transAxes, ha="right", va="top")
+        axs.text(0.95, 0.88, f"BPM Butterworth: {bpm_b[-1]:.2f}",
+                 transform=axs.transAxes, ha="right", va="top")
+        for ax, p, lbl in ((axb, pb, "Butterworth PSD"),
+                           (axc, pc, "Chebyshev-II PSD")):
+            ax.plot(freqs, p[-1], lw=1.0)
+            ax.set_xlim(0, 5.0)
+            ax.set_xlabel("Hz")
+            ax.set_title(lbl)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "live_panels.png"), dpi=130)
+        plt.close(fig)
+        print(f"wrote live_panels.png to {out_dir}")
+
     if show:  # interactive replay (requires a display)
+        pfig = None
+        if panels is not None:
+            # The reference's in-loop display (rppg_VIDEO.py:305-328):
+            # growing signal line + two PSD panels updated per frame.  All
+            # panel data is already on the host (one batched device call,
+            # live_panel_data) — the loop only draws.
+            W0, freqs, pb, pc, bpm_b, bpm_c = panels
+            plt.ion()
+            pfig, (axs, axb, axc) = plt.subplots(3, 1, figsize=(8, 9))
+            sig_line, = axs.plot([], [], color="green")
+            axs.set_title("Heart Rate bpm")
+            txt_c = axs.text(0.95, 0.95, "", transform=axs.transAxes,
+                             ha="right", va="top")
+            txt_b = axs.text(0.95, 0.88, "", transform=axs.transAxes,
+                             ha="right", va="top")
+            lb, = axb.plot(freqs, pb[0], lw=1.0)
+            lc, = axc.plot(freqs, pc[0], lw=1.0)
+            axb.set_title("Butterworth PSD")
+            axc.set_title("Chebyshev-II PSD")
+            for ax in (axb, axc):
+                ax.set_xlim(0, 5.0)
+        g_host = np.asarray(results["green"])
         for i in range(annotated.shape[0]):
             cv2.imshow("vhr_tpu rppg_video", annotated[i])
+            if pfig is not None:
+                sig_line.set_data(np.arange(i + 1), g_host[:i + 1])
+                axs.relim(); axs.autoscale_view()
+                if i >= W0:
+                    j = i - W0
+                    lb.set_ydata(pb[j]); lc.set_ydata(pc[j])
+                    axb.relim(); axb.autoscale_view()
+                    axc.relim(); axc.autoscale_view()
+                    txt_b.set_text(f"BPM Butterworth: {bpm_b[j]:.2f}")
+                    txt_c.set_text(f"BPM Chebyshev II: {bpm_c[j]:.2f}")
+                pfig.canvas.draw_idle()
+                pfig.canvas.flush_events()
             key = cv2.waitKey(max(1, int(1000 / fps))) & 0xFF
             if key == ord("q"):
                 break
             if key == ord(" "):
                 cv2.waitKey(0)
         cv2.destroyAllWindows()
+        if pfig is not None:
+            plt.ioff()
+            plt.close(pfig)
 
 
 def pick_video(videos_dir: str) -> str:
@@ -281,6 +392,10 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default="rppg_out")
     p.add_argument("--show", action="store_true",
                    help="interactive replay window")
+    p.add_argument("--live-panels", action="store_true",
+                   help="the reference's in-loop panels (signal + "
+                        "butter/cheby2 PSD + BPM text) alongside the "
+                        "replay; headless runs write live_panels.png")
     p.add_argument("--faces", type=int, default=1,
                    help="analyze up to K subjects (annotated video + "
                         "per-face BPM traces)")
@@ -327,7 +442,8 @@ def main(argv=None) -> int:
             print(f"BPM Butterworth: {results['bpm_butterworth'][i]:.2f} | "
                   f"Cheby2: {results['bpm_cheby2'][i]:.2f} | "
                   f"FIR: {results['bpm_fir'][i]:.2f}")
-        render(results, args.out_dir, show=args.show)
+        render(results, args.out_dir, show=args.show,
+               live_panels=args.live_panels)
         return 0
 
 

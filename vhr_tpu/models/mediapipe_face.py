@@ -499,7 +499,11 @@ def _crop_faces(frames: jnp.ndarray, rects: _Rect, size: int,
         return jax.vmap(crop_one)(fr, rk)
 
     rects_tk = jax.tree.map(lambda a: a.reshape(T, K), rects)
-    if T <= _CROP_BLOCK:
+    # Blocking exists to bound the exact mode's (blk, H-1, W-1, 12) packed
+    # -tap intermediate; the axis mode's intermediates are (H, size, 3)
+    # slivers, so it runs the whole batch in one vmap (lax.map's
+    # sequential blocks serialized the T=256 pipeline for nothing).
+    if T <= _CROP_BLOCK or mode == "axis":
         return crop_block((frames, rects_tk))
     pad = (-T) % _CROP_BLOCK
     fr = jnp.pad(frames, ((0, pad), (0, 0), (0, 0), (0, 0)))
