@@ -191,3 +191,18 @@ def st_detnet_ba(c, i):
     reg, cls = det_apply_ba(params_ba.det, x)
     return c + jnp.sum(reg[0, 0]).astype(jnp.int32)
 timed(st_detnet_ba, 256, "det net bf16-act FLAT", T)
+
+
+# --- r4 final configuration -------------------------------------------------
+# Product default: bf16 activations + bf16 letterbox/crop interchange
+# (io_dtype tag on the applies), measured 17,951 fps at T=256
+# (docs/PERFORMANCE.md roofline table).  Stage sums exceed e2e — stages
+# fuse/overlap inside the e2e program; trust e2e deltas (CLAUDE.md r4).
+params_r4, det_r4, lm_r4 = mp.load_face_models(
+    compute_dtype=jnp.bfloat16, activation_dtype=jnp.bfloat16)
+
+def e2e_r4(c, i):
+    fr = perturb(frames, i)
+    boxes, valid = mp._detect_single(params_r4, det_r4, lm_r4, fr)
+    return c + jnp.sum(boxes) + jnp.sum(valid)
+timed(e2e_r4, 48, "E2E r4 product default (T=64)", T)

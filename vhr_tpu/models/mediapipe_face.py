@@ -193,9 +193,16 @@ def _letterbox(frames_bgr_u8: jnp.ndarray, size: int, lo: float, hi: float,
     scale, h2, w2, pad_x, pad_y = _letterbox_geometry(H, W, size)
     ax = jnp.asarray(_resize_matrix(W, w2), dtype)       # (w2, W)
     ay = jnp.asarray(_resize_matrix(H, h2), dtype)       # (h2, H)
-    rgb = frames_bgr_u8[..., ::-1].astype(dtype)
-    tmp = jnp.einsum("thwc,mw->thmc", rgb, ax)           # x-pass (T,H,w2,3)
-    small = jnp.einsum("nh,thmc->tnmc", ay, tmp)         # y-pass (T,h2,w2,3)
+    # BGR->RGB AFTER the resize, on the (T, h2, w2, 3) sliver: a channel
+    # reverse fused into the *input* of these two chained einsums
+    # miscompiles on XLA:TPU for every T >= 64 (content-region values off
+    # by up to 197/255 while T <= 16 is exact; reproduced f32 AND bf16,
+    # tools/check_tpu_letterbox.py).  Resize is channel-wise, so flipping
+    # the output is bit-identical math — and verified correct at T up to
+    # 512 on-chip.
+    bgr = frames_bgr_u8.astype(dtype)
+    tmp = jnp.einsum("thwc,mw->thmc", bgr, ax)           # x-pass (T,H,w2,3)
+    small = jnp.einsum("nh,thmc->tnmc", ay, tmp)[..., ::-1]   # (T,h2,w2,3)
     canvas = jnp.zeros((T, size, size, 3), dtype)
     canvas = jax.lax.dynamic_update_slice(canvas, small, (0, pad_y, pad_x, 0))
     return canvas * jnp.asarray((hi - lo) / 255.0, dtype) + jnp.asarray(
@@ -429,9 +436,12 @@ def _crop_axis_mxu(frame_bgr_u8: jnp.ndarray, rect: _Rect, size: int,
     u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size - 0.5
     gx = _interp_matrix(rect.cx + u * rect.side, W).astype(dtype)  # (size,W)
     gy = _interp_matrix(rect.cy + u * rect.side, H).astype(dtype)  # (size,H)
-    img = frame_bgr_u8[..., ::-1].astype(dtype)
+    # Channel reverse AFTER the products — reverse fused into the input
+    # of chained einsums miscompiles on XLA:TPU at batch >= 64 once the
+    # caller vmaps this over frames (see _letterbox).
+    img = frame_bgr_u8.astype(dtype)
     tmp = jnp.einsum("hwc,mw->hmc", img, gx)             # x-pass (H, size, 3)
-    out = jnp.einsum("nh,hmc->nmc", gy, tmp)             # y-pass
+    out = jnp.einsum("nh,hmc->nmc", gy, tmp)[..., ::-1]  # y-pass, BGR->RGB
     return out / jnp.asarray(255.0, dtype)
 
 

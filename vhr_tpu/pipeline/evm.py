@@ -128,8 +128,9 @@ def magnified_pulse(frames: jnp.ndarray, fps: float, band: HRBand,
     no face detection (whole-frame Eulerian pooling).
 
     With ``use_pallas`` the first pyramid level runs as the fused Pallas
-    front-end (``vhr_tpu.ops.pallas_evm``): 5.4x faster than the XLA path on
-    v5e at 1080p (never materializes full-res float YIQ).
+    front-end (``vhr_tpu.ops.pallas_evm``): 4.1x faster than the XLA path on
+    v5e at 1080p with per-rep input materialization (never materializes
+    full-res float YIQ; ``bench.py bench_evm``, BENCH_DETAIL.json evm row).
     """
     W = frames.shape[2]
     if use_pallas and W % 128 == 0 and levels >= 1:
