@@ -224,7 +224,6 @@ def bench_live_latency() -> dict:
     host_rows = {}
     for mode, ds in (("bgr", 1), ("i420", 1), ("i420_ds4", 4)):
         transfer = "i420" if mode.startswith("i420") else "bgr"
-        pipe_h = live.LivePipeline(cfg, donate=True, transfer=transfer)
 
         def feed(f, _ds=ds, _t=transfer):
             if _ds > 1:
@@ -233,16 +232,35 @@ def bench_live_latency() -> dict:
             return jnp.asarray(live.bgr_to_i420_host(f) if _t == "i420"
                                else f)
 
-        pipe_h.submit(feed(host_frames[0]))
-        lats_h = []
-        for i in range(1, K):
-            t0 = time.perf_counter()
-            out = pipe_h.submit(feed(host_frames[i]))
-            float(out.bpm)
-            lats_h.append((time.perf_counter() - t0) * 1e3)
-        pipe_h.flush()
+        # The budget-claim row (i420_ds4) is measured as a DISTRIBUTION
+        # over >=5 independent runs (fresh pipeline each), not one pass —
+        # the relay's run-to-run decode/wire variance is documented at
+        # 0.3-3x, so a single-pass boolean would flap (VERDICT r4 #5).
+        n_runs = 5 if ds == 4 else 1
+        run_p50s, all_lats = [], []
+        for _r in range(n_runs):
+            pipe_h = live.LivePipeline(cfg, donate=True, transfer=transfer)
+            pipe_h.submit(feed(host_frames[0]))
+            lats_h = []
+            for i in range(1, K):
+                t0 = time.perf_counter()
+                out = pipe_h.submit(feed(host_frames[i]))
+                float(out.bpm)
+                lats_h.append((time.perf_counter() - t0) * 1e3)
+            pipe_h.flush()
+            run_p50s.append(round(float(np.percentile(lats_h, 50)), 2))
+            all_lats.extend(lats_h)
         host_rows[f"p50_pipelined_hostframe_{mode}"] = round(
-            float(np.percentile(lats_h, 50)), 2)
+            float(np.percentile(all_lats, 50)), 2)
+        if n_runs > 1:
+            p90 = float(np.percentile(all_lats, 90))
+            host_rows[f"hostframe_{mode}_dist"] = {
+                "runs": n_runs, "steps_per_run": K - 1,
+                "per_run_p50": run_p50s,
+                "p50": round(float(np.percentile(all_lats, 50)), 2),
+                "p90": round(p90, 2),
+                "margin_p90_ms": round(LIVE_BUDGET_MS - p90, 2),
+            }
 
     # frames_per_call=4 micro-batches the loop: 4 frames ship as ONE upload,
     # run as one 4-step lax.scan, and return as one fetch — one link round
@@ -330,9 +348,14 @@ def bench_live_latency() -> dict:
         # per-frame host-origin p50 is the single-frame i420+ds4 row; on
         # this relay it is tunnel-dominated (device compute is ~1 ms — a
         # real PCIe host clears the budget trivially).
+        # Derived from the multi-run p90, not a single-pass p50 — a
+        # boolean that holds at p90 across 5 runs doesn't flap with
+        # tunnel weather (VERDICT r4 #5).
         "within_budget_hostframe_p50": (
             host_rows["p50_pipelined_hostframe_i420_ds4"]
             <= LIVE_BUDGET_MS),
+        "within_budget_hostframe_p90": (
+            host_rows["hostframe_i420_ds4_dist"]["p90"] <= LIVE_BUDGET_MS),
         "within_budget_hostframe_amortized": (
             host_rows["ms_per_frame_hostframe_i420_ds4_mbatch4"]
             <= LIVE_BUDGET_MS),
@@ -342,7 +365,14 @@ def bench_live_latency() -> dict:
 
 
 def bench_multistream() -> dict:
-    """BASELINE config 5: 64 concurrent 720p streams on one chip."""
+    """BASELINE config 5: 64 concurrent 720p streams on one chip.
+
+    Each leg (skin / fused / mediapipe-farm) runs under its own
+    try/except: one failed leg reports ``errors[leg]`` for itself while
+    the healthy legs' numbers survive (r4 lost the whole section — and
+    the regression gate with it — to one farm assert; VERDICT r4 #2)."""
+    import traceback
+
     import jax
     import jax.numpy as jnp
 
@@ -387,17 +417,23 @@ def bench_multistream() -> dict:
         return out
 
     last = {}
+    errors = {}
 
     def call(seed):
         _, n_valid = reps(base_j, noise_j, offs_j, seed)
         last["n_valid"] = int(n_valid)               # blocks on the result
 
-    call(jnp.uint8(0))                               # compile + warm
-    dt = _timed_median(call)
-    n_valid = last["n_valid"]
-    agg_fps = S * T * REPS / dt
-    expect = S * (T - cfg.acquisition_len(fps)) * REPS
-    assert n_valid >= 0.95 * expect, (n_valid, expect)
+    agg_fps = n_valid = None
+    try:
+        call(jnp.uint8(0))                           # compile + warm
+        dt = _timed_median(call)
+        n_valid = last["n_valid"]
+        agg_fps = S * T * REPS / dt
+        expect = S * (T - cfg.acquisition_len(fps)) * REPS
+        assert n_valid >= 0.95 * expect, (n_valid, expect)
+    except Exception as e:
+        errors["skin"] = repr(e)
+        traceback.print_exc(file=sys.stderr)
 
     # Fused-kernel variant: full-resolution detection (8-row pooled) at
     # roughly the same throughput as the 4x-downsampled XLA path — the
@@ -425,9 +461,14 @@ def bench_multistream() -> dict:
         _, v = reps_fused(base_j, noise_j, offs_j, seed)
         last["n_valid"] = int(v)
 
-    call_fused(jnp.uint8(0))
-    dt_fused = _timed_median(call_fused)
-    fused_fps = S * T * REPS / dt_fused
+    fused_fps = None
+    try:
+        call_fused(jnp.uint8(0))
+        dt_fused = _timed_median(call_fused)
+        fused_fps = S * T * REPS / dt_fused
+    except Exception as e:
+        errors["fused"] = repr(e)
+        traceback.print_exc(file=sys.stderr)
 
     # Production-weights farm: the ported MediaPipe detector data-parallel
     # over the stream mesh (streams.multistream_green_bpm(detector=...)),
@@ -435,7 +476,8 @@ def bench_multistream() -> dict:
     # (T=8) bound the letterboxed f32 intermediate; the rolling window
     # shrinks to match so validity still asserts end-to-end detection.
     mp_fps = mp_valid = None
-    if on_tpu:
+    try:
+      if on_tpu:
         import cv2
 
         from vhr_tpu.models.mediapipe_face import make_mediapipe_detector
@@ -485,12 +527,17 @@ def bench_multistream() -> dict:
             expect_mp = Sm * REPSm * (
                 Tm - cfg_mp.acquisition_len(fps_mp) + 1)
             assert mp_valid >= 0.95 * expect_mp, (mp_valid, expect_mp)
+    except Exception as e:
+        errors["mediapipe_farm"] = repr(e)
+        traceback.print_exc(file=sys.stderr)
+        mp_fps = None
 
-    return {
+    out = {
         "metric": "multistream_720p_frames_per_sec_per_chip",
-        "aggregate_fps": round(agg_fps, 1),
-        "per_stream_fps": round(agg_fps / S, 1),
-        "fused_full_res_aggregate_fps": round(fused_fps, 1),
+        "aggregate_fps": round(agg_fps, 1) if agg_fps else None,
+        "per_stream_fps": round(agg_fps / S, 1) if agg_fps else None,
+        "fused_full_res_aggregate_fps":
+            round(fused_fps, 1) if fused_fps else None,
         "mediapipe_farm_aggregate_fps":
             round(mp_fps, 1) if mp_fps else None,
         "unit": "frames/sec",
@@ -503,6 +550,9 @@ def bench_multistream() -> dict:
                    "valid_frames": n_valid,
                    "mediapipe_farm_valid_frames": mp_valid},
     }
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 def _bench_clip(H, W, secs, fourcc_pref):
@@ -1040,12 +1090,24 @@ BASELINE_FILE = "BENCH_BASELINES.json"
 
 
 def _collect_check() -> dict:
-    return {"flagship": bench_flagship(), "kernels": bench_kernels(),
-            "live_latency": bench_live_latency(),
-            "mediapipe": bench_mediapipe(),
-            "multistream": bench_multistream(),
-            "serving": bench_serving(),
-            "evm": bench_evm()}
+    """One guarded section per bench: a crashed section reports
+    ``{"error": ...}`` for itself instead of killing the whole gate
+    (VERDICT r4 #2 — the r4 farm assert took down ``--check`` entirely).
+    Missing metrics then FAIL the gate loudly in :func:`run_check`."""
+    out = {}
+    for name, fn in (("flagship", bench_flagship),
+                     ("kernels", bench_kernels),
+                     ("live_latency", bench_live_latency),
+                     ("mediapipe", bench_mediapipe),
+                     ("multistream", bench_multistream),
+                     ("serving", bench_serving),
+                     ("evm", bench_evm)):
+        try:
+            out[name] = fn()
+        except Exception as e:
+            out[name] = {"error": repr(e)}
+            print(f"[check] section {name} crashed: {e!r}", file=sys.stderr)
+    return out
 
 
 def run_check(record: bool) -> int:
@@ -1062,14 +1124,28 @@ def run_check(record: bool) -> int:
     fresh = {}
     for name, (path, tol, direction) in CHECKS.items():
         v = results
-        for k in path:
-            v = v[k]
+        try:
+            for k in path:
+                v = v[k]
+        except (KeyError, TypeError):
+            v = None
+        if v is None:
+            # A gated metric that did not get measured is a loud failure
+            # (on TPU), never a silent skip.
+            print(f"[check] metric {name} MISSING "
+                  f"(section: {results.get(path[0], {}).get('error', '?')})",
+                  file=sys.stderr)
         fresh[name] = v
+    missing = [n for n, v in fresh.items() if v is None]
 
     if record:
         if not on_tpu:
             print("[check] refusing to record CPU numbers as baselines",
                   file=sys.stderr)
+            return 1
+        if missing:
+            print(f"[check] refusing to record with missing metrics: "
+                  f"{missing}", file=sys.stderr)
             return 1
         with open(BASELINE_FILE, "w") as f:
             json.dump({"platform": "tpu", "metrics": fresh,
@@ -1093,6 +1169,14 @@ def run_check(record: bool) -> int:
     for name, (path, tol, direction) in CHECKS.items():
         b, v = base.get(name), fresh[name]
         if b is None:
+            # A CHECKS key with no committed baseline is a gate hole, not
+            # a pass (r4 silently skipped its four new keys this way).
+            print(f"[check] {name}: NO BASELINE — re-run bench.py --record",
+                  file=sys.stderr)
+            failed.append(name)
+            continue
+        if v is None:
+            failed.append(name)
             continue
         if direction > 0:
             ok = v >= b * (1.0 - tol)

@@ -359,3 +359,32 @@ def test_letterbox_matmul_matches_jax_image_resize():
     ref = canvas * (2.0 / 255.0) - 1.0
     got = mpf._letterbox(frames, size, -1.0, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_residual_stages_match_unfused(models):
+    """The VMEM-fused residual-stage path (fuse_stages=True; Pallas
+    interpret on CPU) detects all four mesh-net bottleneck stages and
+    matches the unfused f32 executor within f32-reassociation tolerance
+    (VERDICT r4 #3)."""
+    import copy
+
+    from vhr_tpu.models.tflite_exec import _find_residual_stages
+
+    g = models["face_landmarks_detector.tflite"].graph
+    gf = fold_dequantize(copy.deepcopy(g))
+    stages = _find_residual_stages(gf.operators, gf.tensors)
+    assert [(s["H"], s["C"], len(s["blocks"])) for s in stages] == [
+        (128, 16, 4), (64, 32, 4), (32, 64, 4), (16, 128, 4)]
+
+    p0, a0 = build_jax(copy.deepcopy(g))
+    p1, a1 = build_jax(copy.deepcopy(g), fuse_stages=True,
+                       fuse_interpret=True)
+    x = np.random.default_rng(2).uniform(0, 1, (1, 256, 256, 3)) \
+        .astype(np.float32)
+    y0 = jax.jit(a0)(p0, jnp.asarray(x))
+    y1 = jax.jit(a1)(p1, jnp.asarray(x))
+    for a, b in zip(y0, y1):
+        scale = max(np.abs(np.asarray(a)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=3e-4)

@@ -212,9 +212,10 @@ def live_panel_data(results, window_seconds: float = 10.0):
     re-filters + re-Welchs the trailing window on the host EVERY frame;
     here all T windows batch into one program and the host only draws).
 
-    Returns ``(start, freqs, psd_butter (T', F), psd_cheby2 (T', F),
-    bpm_butter (T',), bpm_cheby2 (T',))`` where frame ``start + j`` of the
-    replay shows row ``j``.
+    Returns ``(W, freqs, psd_butter (T', F), psd_cheby2 (T', F),
+    bpm_butter (T',), bpm_cheby2 (T',))`` where row ``j`` covers frames
+    ``[j, j+W)`` — i.e. replay frame ``i`` shows row ``i - W + 1`` (the
+    window *ending* at frame ``i``; first full window at ``i = W - 1``).
     """
     import jax
     import jax.numpy as jnp
@@ -226,7 +227,7 @@ def live_panel_data(results, window_seconds: float = 10.0):
     g = jnp.asarray(results["green"], jnp.float32)
     W = int(round(window_seconds * fps))
     T = g.shape[0]
-    if T <= W:
+    if T < W:          # T == W still yields one full window
         return None
     lo, hi = BAND_VIDEO.low_hz, BAND_VIDEO.high_hz
     sos_b = design.sos_design("butterworth", fps, lo, hi, order=2)
@@ -352,8 +353,9 @@ def render(results, out_dir: str, show: bool = False,
             if pfig is not None:
                 sig_line.set_data(np.arange(i + 1), g_host[:i + 1])
                 axs.relim(); axs.autoscale_view()
-                if i >= W0:
-                    j = i - W0
+                if i >= W0 - 1:
+                    # window ending at frame i is row i - W + 1 (ADVICE r4)
+                    j = min(i - W0 + 1, pb.shape[0] - 1)
                     lb.set_ydata(pb[j]); lc.set_ydata(pc[j])
                     axb.relim(); axb.autoscale_view()
                     axc.relim(); axc.autoscale_view()

@@ -96,7 +96,7 @@ _CACHE = {}
 
 
 def load_face_models(task_path: Optional[str] = None, compute_dtype=None,
-                     activation_dtype=None):
+                     activation_dtype=None, fuse_stages=False):
     """Parse the .task zip once -> (params pytree, det apply, lm apply).
 
     ``compute_dtype=jnp.bfloat16`` runs both conv nets' MXU work in bf16
@@ -106,11 +106,25 @@ def load_face_models(task_path: Optional[str] = None, compute_dtype=None,
     graph moves ~90 MB of f32 feature maps per frame), so THIS is the
     mode that moves throughput (docs/PERFORMANCE.md roofline table);
     landmark RMS delta vs f32 is pinned in tests/test_mediapipe_face.py.
+
+    ``fuse_stages``: run the mesh net's residual bottleneck stages as
+    VMEM-resident Pallas kernels (``ops/pallas_meshblocks.py``; "auto"
+    = on real TPU only).  Output parity with the unfused executor is
+    pinned in tests/test_mediapipe_face.py (f32-reassociation tolerance).
     """
     task_path = task_path or default_task_path()
+    if fuse_stages == "auto":
+        # VMEM-fused residual stages only pay on the real MXU/VMEM
+        # hierarchy; the interpret-mode kernel would slow CPU tests ~10x.
+        fuse_stages = jax.default_backend() == "tpu"
+        fuse_interpret = False
+    else:
+        fuse_stages = bool(fuse_stages)
+        fuse_interpret = fuse_stages and jax.default_backend() != "tpu"
     key = (task_path,
            np.dtype(compute_dtype).name if compute_dtype else None,
-           np.dtype(activation_dtype).name if activation_dtype else None)
+           np.dtype(activation_dtype).name if activation_dtype else None,
+           fuse_stages)
     if key in _CACHE:
         return _CACHE[key]
     from .tflite import load_task_models
@@ -121,7 +135,8 @@ def load_face_models(task_path: Optional[str] = None, compute_dtype=None,
                                       activation_dtype=activation_dtype)
     lm_params, lm_apply = build_jax(
         models["face_landmarks_detector.tflite"].graph,
-        compute_dtype=compute_dtype, activation_dtype=activation_dtype)
+        compute_dtype=compute_dtype, activation_dtype=activation_dtype,
+        fuse_stages=fuse_stages, fuse_interpret=fuse_interpret)
     # In the bf16-activation mode, letterbox/crops interchange in bf16 too
     # (the net stores bf16 feature maps anyway; the full-res input casts
     # are the pre-net stages' dominant HBM term — detect_faces_mp /

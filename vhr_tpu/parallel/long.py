@@ -23,7 +23,8 @@ from ..config import HRBand
 from ..dsp import spectral
 from ..ops import windows as vwin
 
-__all__ = ["sharded_steady_bpm", "sharded_holdover"]
+__all__ = ["sharded_steady_bpm", "sharded_holdover", "sharded_forward_fill",
+           "sharded_rolling_bpm_fft", "measure_green_avg_sharded"]
 
 
 def sharded_steady_bpm(signal: jnp.ndarray, fps: float, band: HRBand,
@@ -153,3 +154,187 @@ def sharded_holdover(box: jnp.ndarray, valid: jnp.ndarray, mesh: Mesh,
         check_vma=False)(box, valid, attempted)
     from ..ops.roi import BoxTrack
     return BoxTrack(box=boxes, valid=valids)
+
+
+def sharded_forward_fill(x: jnp.ndarray, valid: jnp.ndarray, mesh: Mesh,
+                         axis_name: str = "time") -> jnp.ndarray:
+    """Forward-fill over a TIME-SHARDED trace — exactly equal to the
+    sequential :func:`vhr_tpu.dsp.filters.forward_fill` (``init="zeros"``).
+
+    Same summary-compose trick as :func:`sharded_holdover`: the fill carry
+    (last valid value) resets at any valid sample, so each shard's transfer
+    function is ``(any_valid, last_valid_value)`` — one tiny ``all_gather``
+    plus a static prefix fold recovers every shard's true input carry, then
+    an exact local scan finishes.  ``x`` is ``(T,)`` or ``(T, C)``; both
+    sharded over ``axis_name`` on axis 0.
+    """
+    n_shards = mesh.shape[axis_name]
+
+    def body(xl, vl):
+        t_local = vl.shape[0]
+        any_v = jnp.any(vl)
+        last_idx = jnp.argmax(jnp.where(vl, jnp.arange(t_local), -1))
+        g_any, g_last = jax.lax.all_gather(
+            (any_v.astype(jnp.int32), xl[last_idx]), axis_name)
+
+        val = jnp.zeros_like(xl[0])
+        vals = [val]
+        for k in range(n_shards - 1):           # static prefix fold
+            val = jnp.where(g_any[k] > 0, g_last[k], val)
+            vals.append(val)
+        idx = jax.lax.axis_index(axis_name)
+        carry0 = jnp.stack(vals)[idx]
+
+        def step(c, inp):
+            v, ok = inp
+            new = jnp.where(ok, v, c)
+            return new, new
+
+        _, filled = jax.lax.scan(step, carry0, (xl, vl))
+        return filled
+
+    return shard_map(body, mesh=mesh,
+                     in_specs=(P(axis_name), P(axis_name)),
+                     out_specs=P(axis_name), check_vma=False)(x, valid)
+
+
+def sharded_rolling_bpm_fft(signal: jnp.ndarray, fps: float, band: HRBand,
+                            window_len: int, acquisition_len: int,
+                            mesh: Mesh, axis_name: str = "time"
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Time-sharded :func:`vhr_tpu.ops.windows.rolling_bpm_fft` — per-frame
+    deque-semantics FFT BPM (growing-window acquisition ramp + steady
+    sliding windows), exactly equal to the unsharded version.
+
+    Steady windows come from a ``window_len - 1`` left halo (one
+    ``ppermute``); the acquisition ramp (every window starts at global
+    sample 0) lives entirely on shard 0, which recomputes it locally via
+    the exact masked ramp DFT.  Requires ``T_local >= window_len`` so the
+    ramp never crosses a shard boundary (an hour-scale recording over a
+    pod: 30 s windows vs >10k frames/shard).
+
+    Returns ``(bpm, valid)`` sharded like the input.
+    """
+    n_shards = mesh.shape[axis_name]
+    if n_shards == 1:
+        r = vwin.rolling_bpm_fft(signal, fps, band, window_len,
+                                 acquisition_len)
+        return r.bpm, r.valid
+    T = signal.shape[0]
+    t_local = T // n_shards
+    if t_local < window_len:
+        raise ValueError(
+            f"time-sharded rolling BPM needs T_local >= window_len "
+            f"({t_local} < {window_len}); use fewer shards or a shorter "
+            f"window")
+    halo = window_len - 1
+    first = acquisition_len - 1
+
+    def body(xl):
+        xl = (xl if jnp.issubdtype(xl.dtype, jnp.floating)
+              else xl.astype(jnp.float32))
+        idx = jax.lax.axis_index(axis_name)
+        fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        left = jax.lax.ppermute(xl[-halo:], axis_name, fwd)
+        ext = jnp.concatenate([left, xl], axis=0)     # (halo + T_local,)
+        wins = vwin.sliding_windows(ext, window_len)  # (T_local, W)
+        wins = wins - jnp.mean(wins, axis=-1, keepdims=True)
+        est = spectral.estimate_bpm(wins, fps, band)
+        global_i = idx * t_local + jnp.arange(t_local)
+        steady = global_i >= window_len - 1
+        bpm = jnp.where(steady, est.bpm, 0.0)
+        valid = jnp.logical_and(
+            steady, jnp.logical_and(est.valid, window_len >= 8))
+
+        # Acquisition ramp (global frames first..window_len-2): shard 0's
+        # local prefix IS the global prefix, so the exact masked ramp DFT
+        # runs on xl and is selected only there.
+        if first <= window_len - 2:
+            lengths = np.arange(first + 1, window_len)
+            r_bpm, r_valid = vwin._ramp_bpm(xl, fps, band, lengths)
+            r_valid = jnp.logical_and(r_valid, jnp.asarray(lengths >= 8))
+            pos = np.arange(first, window_len - 1)
+            ramp_b = jnp.zeros((t_local,), bpm.dtype).at[pos].set(r_bpm)
+            ramp_v = jnp.zeros((t_local,), bool).at[pos].set(r_valid)
+            is_ramp = jnp.logical_and(
+                idx == 0, jnp.logical_and(global_i >= first,
+                                          global_i <= window_len - 2))
+            bpm = jnp.where(is_ramp, ramp_b, bpm)
+            valid = jnp.where(is_ramp, ramp_v, valid)
+        return bpm, valid
+
+    return shard_map(body, mesh=mesh, in_specs=(P(axis_name),),
+                     out_specs=(P(axis_name), P(axis_name)),
+                     check_vma=False)(signal)
+
+
+def measure_green_avg_sharded(frames: jnp.ndarray, fps: float, mesh: Mesh,
+                              cfg=None, detector=None,
+                              bandpass: bool = False,
+                              axis_name: str = "time"):
+    """The canonical green-channel measure (``green_avg.py:11-52``) over a
+    TIME-SHARDED long recording — SURVEY §5 long-context as one product
+    path, not parts.
+
+    ``frames`` is ``(T, H, W, 3)`` uint8 sharded over ``axis_name``;
+    detection runs frame-local per shard, the ≤15-frame landmark holdover
+    crosses shard boundaries via :func:`sharded_holdover`, dropout
+    forward-fill via :func:`sharded_forward_fill`, optional zero-phase
+    bandpass via :func:`vhr_tpu.parallel.time_shard.halo_sosfiltfilt`, and
+    the windowed FFT-peak estimate via :func:`sharded_rolling_bpm_fft` —
+    every cross-shard dependency is one ICI collective, everything else is
+    embarrassingly parallel.
+
+    ``bandpass=False`` is pinned EXACTLY equal to the single-device
+    :func:`vhr_tpu.pipeline.offline.measure_green_avg` (estimator="fft");
+    ``bandpass=True`` additionally zero-phase-filters the filled trace
+    (order-2 Butterworth over ``cfg.band``, the ``rppg_VIDEO.py:402``
+    filter) before windowing — the long-recording composition.
+
+    Returns ``(bpm, valid, green)``, each ``(T,)`` sharded like the input.
+    """
+    from ..config import PipelineConfig
+    from ..ops import reduce as vreduce
+    from ..ops import roi as vroi
+    from ..pipeline.offline import _split_detector
+
+    cfg = cfg or PipelineConfig()
+    det_fn, det_args = _split_detector(detector)
+    T, H, W, _ = frames.shape
+    spec = P(axis_name)
+
+    def det_body(fr, args):
+        return det_fn(*args, fr)
+
+    boxes, dvalid = shard_map(
+        det_body, mesh=mesh, in_specs=(spec, P()),
+        out_specs=(spec, spec), check_vma=False)(frames, det_args)
+
+    track = sharded_holdover(boxes, dvalid, mesh,
+                             cfg.roi.landmark_hold_frames, axis_name)
+
+    def roi_body(fr, bx, vl):
+        rois = vroi.measurement_roi(bx, cfg.roi, W, H, cfg.roi_site)
+        rois = jnp.where(vl[:, None], rois, 0)
+        means, _ = vreduce.roi_channel_means(fr, rois)
+        return means
+
+    means = shard_map(
+        roi_body, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=spec, check_vma=False)(frames, track.box, track.valid)
+
+    green = sharded_forward_fill(means[:, cfg.channel], track.valid,
+                                 mesh, axis_name)
+    sig = green
+    if bandpass:
+        from ..dsp import design
+        from .time_shard import halo_sosfiltfilt
+        sos = design.sos_design("butterworth", fps, cfg.band.low_hz,
+                                cfg.band.high_hz, order=2)
+        sig = halo_sosfiltfilt(sos, sig, mesh, axis_name)
+
+    bpm, rvalid = sharded_rolling_bpm_fft(
+        sig, fps, cfg.band, cfg.window_len(fps), cfg.acquisition_len(fps),
+        mesh, axis_name)
+    ok = jnp.logical_and(rvalid, track.valid)
+    return bpm, ok, green

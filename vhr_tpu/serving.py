@@ -40,6 +40,7 @@ from __future__ import annotations
 import base64
 import dataclasses
 import hashlib
+import hmac
 import json
 import os
 import queue
@@ -447,6 +448,12 @@ class BpmServer:
         with self._lock:
             return [s for s in range(self.n_slots) if self._attached[s]]
 
+    # Snapshot schema: v2 keys leaves by state-field NAME (schema-change
+    # safe — a restore into a state with new fields zero-fills them); v1
+    # (pre-r4, implicit) used positional leaf{i} keys, which silently
+    # misalign when fields are added (ring_bgr, ADVICE r4).
+    _SNAP_SCHEMA = 2
+
     def snapshot(self) -> dict:
         """Serializable pool state (host numpy): every slot's rings, SOS
         state, tracks, plus the attach map and cadence phase.  A server
@@ -458,25 +465,55 @@ class BpmServer:
         call ``snapshot()`` at the same point in its tick sequence (the
         SPMD contract; an admin snapshot on one host alone deadlocks)."""
         with self._lock:
-            leaves, treedef = jax.tree.flatten(self._state)
+            fields = self._state._asdict()
             if self._multiproc:
                 from jax.experimental import multihost_utils
-                leaves = [multihost_utils.process_allgather(x, tiled=True)
-                          for x in leaves]
-            snap = {f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)}
+                fields = {k: multihost_utils.process_allgather(v, tiled=True)
+                          for k, v in fields.items()}
+            snap = {f"state.{k}": np.asarray(v) for k, v in fields.items()}
+            snap["schema"] = np.int64(self._SNAP_SCHEMA)
             snap["attached"] = np.asarray(self._attached)
             snap["needs_reset"] = self._needs_reset.copy()
             snap["tick_count"] = np.int64(self._tick_count)
             return snap
 
     def restore(self, snap: dict) -> None:
-        """Inverse of :meth:`snapshot` (accepts an ``np.load`` mapping)."""
+        """Inverse of :meth:`snapshot` (accepts an ``np.load`` mapping).
+
+        v2 snapshots restore by field name; a field absent from the
+        snapshot (older snapshot, newer state — e.g. ``ring_bgr``) keeps
+        its zero-init value with a warning instead of an opaque unflatten
+        error.  Legacy v1 (positional ``leaf{i}``) snapshots are accepted
+        only when the leaf count matches the current state exactly."""
         with self._lock:
-            leaves, treedef = jax.tree.flatten(self._state)
-            new = [np.asarray(snap[f"leaf{i}"]).astype(leaves[i].dtype)
-                   for i in range(len(leaves))]
-            self._state = jax.tree.unflatten(
-                treedef, [self._put(x) for x in new])
+            cur = self._state._asdict()
+            if "schema" in snap or any(
+                    k.startswith("state.") for k in snap):
+                new = {}
+                for k, v in cur.items():
+                    key = f"state.{k}"
+                    if key in snap:
+                        new[k] = self._put(
+                            np.asarray(snap[key]).astype(v.dtype))
+                    else:
+                        import sys
+                        print(f"[pool] snapshot lacks field {k!r} "
+                              f"(older schema); keeping zero init",
+                              file=sys.stderr)
+                        new[k] = v
+                self._state = type(self._state)(**new)
+            else:                      # legacy v1 positional format
+                leaves, treedef = jax.tree.flatten(self._state)
+                n = sum(1 for k in snap if str(k).startswith("leaf"))
+                if n != len(leaves):
+                    raise ValueError(
+                        f"legacy snapshot has {n} leaves but the current "
+                        f"pool state has {len(leaves)} fields — "
+                        f"re-snapshot with this version (schema v2)")
+                new = [np.asarray(snap[f"leaf{i}"]).astype(leaves[i].dtype)
+                       for i in range(len(leaves))]
+                self._state = jax.tree.unflatten(
+                    treedef, [self._put(x) for x in new])
             self._attached = [bool(b) for b in np.asarray(snap["attached"])]
             self._needs_reset = np.asarray(snap["needs_reset"]).copy()
             self._tick_count = int(snap["tick_count"])
@@ -861,7 +898,10 @@ class _BpmHandler(socketserver.StreamRequestHandler):
         hello = json.loads(raw.decode() or "{}")
         if not isinstance(hello, dict):
             raise ValueError("hello must be a JSON object")
-        if srv.auth_token is not None and hello.get("token") != srv.auth_token:
+        if srv.auth_token is not None and not hmac.compare_digest(
+                str(hello.get("token", "")), srv.auth_token):
+            # constant-time compare: the token is a shared secret arriving
+            # over the network (ADVICE r4)
             raise ValueError("bad or missing auth token")
         transfer = hello.get("transfer", "bgr")
         if not hello.get("stats") and transfer != srv.pool.transfer:
