@@ -400,5 +400,5 @@ def test_measure_green_avg_timesharded_bandpass(devices):
     # The halo filter matches to float tolerance, and the FFT argmax bin is
     # robust to it: the BPM traces agree everywhere valid.
     np.testing.assert_allclose(bpm_sh[ok_ref], bpm_ref[ok_ref], atol=0.5)
-    err = np.abs(bpm_sh[ok_ref] - 72.0)
+    err = np.abs(bpm_sh[ok_ref] - 90.0)
     assert err.mean() <= 5.0, err.mean()
